@@ -1,0 +1,250 @@
+"""Frame autoencoder: encode / quantize / decode, with the doubly-
+autoregressive video decode loop as a single `lax.scan`.
+
+TPU-native re-implementation of the inference surface of `QVidModel`
+(`models/skip_vid_generator/models/quantized_video_model.py:773-949`):
+
+- `encode`   <- `QVidModel.encode` (:773-819)
+- `decode_video` <- `QVidModel.decode` (:822-918): the reference's Python
+  loop with a growing list FIFO becomes a `lax.scan` over frames carrying a
+  fixed-shape per-resolution context FIFO + dynamic validity mask. The
+  decode->re-encode context refresh (`:876`) is fused into the scanned step,
+  so the whole rollout is one XLA program with zero host round-trips.
+- `vid_step_decode` (:920-949) falls out of `decode_step`.
+
+Training losses live in `ccvs_tpu.train.ae_losses`.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccvs_tpu.config import AutoencoderConfig
+from ccvs_tpu.nn.decoder import SkipDecoder
+from ccvs_tpu.nn.encoder import SkipEncoder
+from ccvs_tpu.nn.quantizer import VectorQuantizer
+
+
+class FrameAutoencoder:
+    """Stateless bundle of encoder / quantizer / decoder apply functions."""
+
+    def __init__(self, cfg: AutoencoderConfig, dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.encoder = SkipEncoder(cfg, dtype=dtype)
+        self.decoder = SkipDecoder(cfg, dtype=dtype)
+        self.quantizer = VectorQuantizer(
+            cfg.z_num, cfg.z_size, beta=0.25, mult=cfg.z_mult, normalize=cfg.normalize_out
+        )
+
+    # ---------------- init ----------------
+
+    def init(self, key, height=None, width=None):
+        cfg = self.cfg
+        h = height or cfg.max_dim
+        w = width or int(cfg.max_dim * cfg.aspect_ratio)
+        k1, k2, k3 = jax.random.split(key, 3)
+        x = jnp.zeros((1, h, w, 3), jnp.float32)
+        e = self.encoder.init(k1, x)["params"]
+        z = jnp.zeros((1, *cfg.z_shape, cfg.z_size), jnp.float32)
+        q = self.quantizer.init(k2, z)["params"]
+        inters = self._zero_inters(1, 1)
+        inters_list = [[f[:, 0] for f in inters]]
+        g = self.decoder.init(k3, z.astype(self.dtype), inters_list)["params"]
+        return {"encoder": e, "quantizer": q, "decoder": g}
+
+    # ---------------- shapes ----------------
+
+    def inter_shapes(self, batch: int) -> List[Tuple[int, ...]]:
+        """Per-resolution context feature shapes, encoder (finest-first) order."""
+        cfg = self.cfg
+        h, w = cfg.max_dim, int(cfg.max_dim * cfg.aspect_ratio)
+        shapes = []
+        for i, c in enumerate(cfg.inter_sizes_enc):
+            shapes.append((batch, h // (2**i), w // (2**i), c))
+        return shapes
+
+    def _zero_inters(self, batch: int, slots: int):
+        return [
+            jnp.zeros((s[0], slots, *s[1:]), self.dtype)
+            for s in self.inter_shapes(batch)
+        ]
+
+    # ---------------- encode ----------------
+
+    def encode(self, params, frames):
+        """Frames -> (code indices, z_q, inter features).
+
+        ``frames``: (B, H, W, 3) or (B, T, H, W, 3) in [-1, 1].
+        Matches `QVidModel.encode` (`quantized_video_model.py:773-819`).
+        """
+        z, inters = self.encoder.apply({"params": params["encoder"]}, frames.astype(self.dtype))
+        zf = z.astype(jnp.float32)
+        z_q, _, (_, idx) = self.quantizer.apply({"params": params["quantizer"]}, zf)
+        lead = idx.shape[: idx.ndim - 2]
+        code = idx.reshape(*lead, -1)  # (B[,T], h*w)
+        return {"code": code, "z": z_q, "inter": inters}
+
+    def embed_code(self, params, code):
+        """Token indices -> z_q latents (B[,T], h, w, z_size)."""
+        cfg = self.cfg
+        lead = code.shape[:-1]
+        idx = code.reshape(*lead, *cfg.z_shape)
+        z = self.quantizer.apply(
+            {"params": params["quantizer"]}, idx, method=VectorQuantizer.embed_code
+        )
+        return z
+
+    # ---------------- single-frame decode ----------------
+
+    def decode_frame(self, params, z, inter_fifo, fifo_mask, has_ctx=True,
+                     inter_pre_warping=False):
+        """Decode one frame against the context FIFO.
+
+        Args:
+          z: (B, h, w, z_size) latents for this frame.
+          inter_fifo: list per resolution of (B, M, h_r, w_r, c_r); slot
+            ``M-1`` is the most recent context (dt=1).
+          fifo_mask: (B, M) validity (slot m <-> dt = M-m; combines the static
+            ``skip_context`` membership and the dynamic frame count).
+
+        Returns:
+          (rgb, inter_dec) where inter_dec is finest-first (encoder order).
+        """
+        cfg = self.cfg
+        m = inter_fifo[0].shape[1]
+        # contexts as list-of-lists: k = M slots, most recent first is not
+        # required — masking handles validity; order follows slots.
+        inter_tgts = [[f[:, s] for f in inter_fifo] for s in range(m)]
+        rgb, _, flows, occs, inter_dec = self.decoder.apply(
+            {"params": params["decoder"]},
+            z.astype(self.dtype),
+            inter_tgts,
+            ctx_mask=fifo_mask,
+            return_all=True,
+            inter_pre_warping=inter_pre_warping,
+            has_ctx=has_ctx,
+        )
+        # inter_dec is coarsest-first (decoder order); reverse to encoder order
+        # (reference `quantized_video_model.py:880-881`).
+        return rgb, list(reversed(inter_dec))
+
+    def refresh_inter(self, params, rgb):
+        """Re-encode a decoded frame to get fresh context features
+        (`skip_mode == 'enc'`, reference `quantized_video_model.py:875-878`)."""
+        _, inters = self.encoder.apply({"params": params["encoder"]}, rgb.astype(self.dtype))
+        return inters
+
+    @staticmethod
+    def fifo_push(inter_fifo, new_inter, curr, keep_first=False, n_first=1):
+        """Shift the FIFO left and append ``new_inter`` at the last slot.
+
+        Mirrors `quantized_video_model.py:895-902`: optionally pins the first
+        ``n_first`` slots once the FIFO is full.
+        """
+        out = []
+        m = inter_fifo[0].shape[1]
+        for fifo, new in zip(inter_fifo, new_inter):
+            shifted = jnp.concatenate([fifo[:, 1:], new[:, None].astype(fifo.dtype)], axis=1)
+            if keep_first:
+                pinned = jnp.concatenate(
+                    [fifo[:, :n_first], fifo[:, n_first + 1 :], new[:, None].astype(fifo.dtype)],
+                    axis=1,
+                )
+                shifted = jnp.where(curr >= m, pinned, shifted)
+            out.append(shifted)
+        return out
+
+    def fifo_mask(self, batch, curr):
+        """(B, M) validity: slot m (dt = M - m) valid iff dt <= curr and dt in
+        ``skip_context``."""
+        cfg = self.cfg
+        m = cfg.skip_memory
+        dts = m - jnp.arange(m)  # slot 0 -> dt=M ... slot M-1 -> dt=1
+        member = jnp.asarray([(int(dt) in cfg.skip_context) for dt in range(m, 0, -1)], jnp.float32)
+        valid = (dts <= curr).astype(jnp.float32) * member
+        return jnp.tile(valid[None], (batch, 1))
+
+    # ---------------- video decode (doubly-AR rollout) ----------------
+
+    def decode_video(self, params, codes, ctx_frames=None, n_ctx=1, cond_inter=None):
+        """Decode a token video autoregressively in image space.
+
+        Re-implements `QVidModel.decode` (`quantized_video_model.py:822-918`)
+        as: (a) batch-decode the ``n_ctx`` context frames with their own
+        (ground-truth) inters, (b) `lax.scan` over the remaining frames with
+        the decode->re-encode context refresh inside the scanned step.
+
+        Args:
+          codes: (B, T, h*w) token indices for every frame (context included).
+          ctx_frames: (B, n_ctx, H, W, 3) real context frames (used to build
+            the initial FIFO via encoding). If None, generation is
+            unconditional (n_ctx must be 0).
+          n_ctx: static number of context frames.
+
+        Returns:
+          (B, T, H, W, 3) decoded video.
+        """
+        cfg = self.cfg
+        b, t = codes.shape[0], codes.shape[1]
+        m = cfg.skip_memory
+        z_all = self.embed_code(params, codes)  # (B, T, h, w, z)
+
+        fifo = self._zero_inters(b, m)
+        ctx_rgb = None
+        if n_ctx > 0:
+            enc = self.encode(params, ctx_frames)
+            ctx_inters = enc["inter"]  # (B, n_ctx, ...) per resolution
+            # decode context frames against their own inters (reference
+            # `quantized_video_model.py:849-858`)
+            inter_tgts = [[f[:, i] for f in ctx_inters] for i in range(n_ctx)]
+            ctx_rgb, _ = self.decoder.apply(
+                {"params": params["decoder"]},
+                z_all[:, :n_ctx].astype(self.dtype),
+                [[f[:, :n_ctx] for f in ctx_inters]],
+            )
+            # seed FIFO with the last min(n_ctx, M) context inters
+            take = min(n_ctx, m)
+            for r in range(len(fifo)):
+                src = ctx_inters[r][:, n_ctx - take : n_ctx].astype(self.dtype)
+                fifo[r] = jax.lax.dynamic_update_slice(
+                    fifo[r], src, (0, m - take) + (0,) * (fifo[r].ndim - 2)
+                )
+
+        def step(carry, z_t_and_idx):
+            fifo, curr = carry
+            z_t, _ = z_t_and_idx
+            mask = self.fifo_mask(b, curr)
+            rgb, inter_dec = self.decode_frame(
+                params, z_t, fifo, mask, has_ctx=True, inter_pre_warping=False
+            )
+            if cfg.skip_mode == "enc":
+                new_inter = self.refresh_inter(params, rgb)
+            else:  # "dec"
+                new_inter = inter_dec
+            fifo = self.fifo_push(fifo, new_inter, curr, cfg.keep_first, cfg.n_first)
+            return (fifo, curr + 1), rgb
+
+        z_gen = jnp.moveaxis(z_all[:, n_ctx:], 1, 0)  # (T-n_ctx, B, h, w, z)
+        idxs = jnp.arange(t - n_ctx)
+        (_, _), frames = jax.lax.scan(step, (fifo, jnp.asarray(n_ctx, jnp.int32)), (z_gen, idxs))
+        frames = jnp.moveaxis(frames, 0, 1)  # (B, T-n_ctx, H, W, 3)
+
+        if ctx_rgb is not None:
+            return jnp.concatenate([ctx_rgb.astype(frames.dtype), frames], axis=1)
+        return frames
+
+    def reconstruct(self, params, frames):
+        """Pure per-frame reconstruction (encode -> quantize -> decode with own
+        inters), the reference's `rec/` output (`helpers/generator.py:172-189`)."""
+        enc = self.encode(params, frames)
+        t = frames.shape[1] if frames.ndim == 5 else None
+        inters = enc["inter"]
+        rgb, _ = self.decoder.apply(
+            {"params": params["decoder"]}, enc["z"].astype(self.dtype), [inters]
+        )
+        return rgb

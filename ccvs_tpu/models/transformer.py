@@ -1,0 +1,303 @@
+"""Latent-token transformer wrapper: loss + KV-cached autoregressive
+generation with sliding-window long rollouts.
+
+Re-implements `Transformer` (`models/skip_vid_generator/models/
+transformer_model.py`) TPU-first:
+
+- `loss`           <- `compute_transformer_loss` (:142-253): masked CE over
+  frame and state positions via the static token schedule.
+- `generate`       <- `generate_fake`/`fill_code` (:263-392): the reference
+  runs one full O(L^2) GPT forward per token; here generation is prefill +
+  `lax.scan` of single-token cached decode steps, with per-kind (frame/state)
+  top-k, temperature, and vocab masking selected by the static schedule.
+- sliding window   <- (:292-323): when ``total_len > z_len``, re-prefill from
+  the shifted prefix and scan one chunk at a time (each chunk is one compiled
+  program; the reference pays per-token full forwards).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccvs_tpu.config import TransformerConfig
+from ccvs_tpu.nn.gpt import GPT, KIND_FRAME, KIND_STATE, Schedule, build_schedule
+
+
+class TokenTransformer:
+    def __init__(self, cfg: TransformerConfig, dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.model = GPT(cfg, dtype=dtype)
+
+    def init(self, key, batch=1):
+        cfg = self.cfg
+        code = jnp.zeros((batch, min(cfg.z_len, cfg.num_blocks * cfg.size) - 1), jnp.int32)
+        kwargs = {}
+        if cfg.state_size > 0 and cfg.state_num > 0:
+            kwargs["state_code"] = jnp.zeros(
+                (batch, cfg.num_blocks * cfg.state_size), jnp.int32
+            )
+        if cfg.p2p or cfg.deblurring:
+            kwargs["cond_code"] = jnp.zeros((batch, cfg.cond_len), jnp.int32)
+            kwargs["delta"] = jnp.zeros((batch,), jnp.int32)
+        if cfg.cat:
+            kwargs["lbl"] = jnp.zeros((batch,), jnp.int32)
+        return self.model.init(key, code, **kwargs)["params"]
+
+    # ---------------- loss ----------------
+
+    def loss(self, params, code, state_code=None, cond_code=None, delta=None,
+             lbl=None, rngs=None):
+        """CE loss over frame tokens (+ interleaved state tokens).
+
+        Mirrors `compute_transformer_loss` (`transformer_model.py:142-253`):
+        input is ``code[:, :-1]``, targets ``code`` (full, when start/lbl
+        present) or ``code[:, 1:]``; state logits are restricted to
+        ``state_num`` and scored against ``state_code[:, 1:]``.
+        """
+        cfg = self.cfg
+        code = code[:, : cfg.z_len]
+        inp = code[:, :-1]
+        logits = self.model.apply(
+            {"params": params}, inp, state_code=state_code, cond_code=cond_code,
+            delta=delta, lbl=lbl,
+            deterministic=rngs is None, rngs=rngs,
+        )
+        metrics = {}
+        if state_code is not None and cfg.state_size > 0:
+            lt = logits.shape[1]
+            pos = np.arange(lt)
+            if cfg.state_front:
+                is_state_tgt = (pos + 1) < cfg.state_size * cfg.num_blocks
+            else:
+                is_state_tgt = (pos + 1) % cfg.tot_size < cfg.state_size
+            state_i = np.nonzero(is_state_tgt)[0]
+            frame_i = np.nonzero(~is_state_tgt)[0]
+            state_logits = logits[:, state_i, : cfg.state_num]
+            frame_logits = logits[:, frame_i]
+            tgt_frame = code
+            tgt_state = state_code[:, 1:]
+            nll = _ce(frame_logits, tgt_frame)
+            state_nll = _ce(state_logits, tgt_state)
+            metrics = {"nll": nll, "state_nll": state_nll}
+            return nll + state_nll, metrics
+        if cfg.use_start_token or cfg.cat:
+            tgt = code
+        else:
+            tgt = code[:, 1:]
+        nll = _ce(logits[:, : tgt.shape[1]], tgt)
+        return nll, {"nll": nll}
+
+    # ---------------- generation ----------------
+
+    def generate(self, params, rng, code, state_code=None, cond_code=None,
+                 delta=None, lbl=None, total_len=None):
+        """Autoregressively extend ``code`` (and ``state_code``).
+
+        Mirrors `generate_fake` (`transformer_model.py:263-328`): fill to
+        transformer capacity, then slide chunk-by-chunk until ``total_len``
+        frame+state tokens are produced.
+
+        Args:
+          code: (B, n0) given frame tokens (context).
+          total_len: total frame+state token budget (reference semantics);
+            None = fill to capacity once.
+
+        Returns:
+          dict(code=(B, n_frame_tokens), state_code=(B, n_state_tokens)).
+        """
+        cfg = self.cfg
+        b = code.shape[0]
+        n_state0 = state_code.shape[1] if state_code is not None else 0
+
+        cap = self._capacity(cond_code, n_state0_cap=True)
+        cur = code.shape[1] + min(n_state0, cfg.num_blocks * cfg.state_size)
+        if total_len is None:
+            total_len = cap + (cond_code.shape[1] if cond_code is not None else 0)
+        budget = total_len - (cond_code.shape[1] if cond_code is not None else 0)
+
+        # 1. fill to capacity (or budget if smaller)
+        first_target = min(cap, budget)
+        rng, sub = jax.random.split(rng)
+        code, state_code = self._fill(
+            params, sub, code, state_code, cond_code, delta, lbl,
+            target_merged_len=first_target,
+        )
+        cur = first_target
+
+        # 2. sliding window: drop the oldest frame's tokens, refill one chunk
+        i = 1
+        while cur < budget:
+            add = min(cfg.z_chunk, budget - cur)
+            if cond_code is not None and delta is not None:
+                delta = delta - 1
+            tmp_code = code[:, i * cfg.size :]
+            tmp_state = state_code[:, i * cfg.state_size :] if state_code is not None else None
+            tmp_merged = tmp_code.shape[1] + (tmp_state.shape[1] if tmp_state is not None else 0)
+            rng, sub = jax.random.split(rng)
+            new_code, new_state = self._fill(
+                params, sub, tmp_code, tmp_state, cond_code, delta, lbl,
+                target_merged_len=tmp_merged + add,
+            )
+            code = jnp.concatenate([code, new_code[:, tmp_code.shape[1] :]], axis=1)
+            if state_code is not None:
+                state_code = jnp.concatenate(
+                    [state_code, new_state[:, tmp_state.shape[1] :]], axis=1
+                )
+            cur += add
+            i += 1
+
+        return {"code": code, "state_code": state_code}
+
+    def _capacity(self, cond_code, n_state0_cap=False):
+        """Merged-token capacity of one window (`transformer_model.py:337-339`)."""
+        cfg = self.cfg
+        cap = cfg.z_len
+        if cond_code is not None:
+            cap -= cond_code.shape[1]
+        return cap
+
+    def _fill(self, params, rng, code, state_code, cond_code, delta, lbl,
+              target_merged_len):
+        """Prefill + scan-decode until the merged body has
+        ``target_merged_len`` tokens (static)."""
+        cfg = self.cfg
+        b = code.shape[0]
+        n0_frame = code.shape[1]
+        n0_state = state_code.shape[1] if state_code is not None else 0
+        n0 = n0_frame + n0_state
+        L = int(target_merged_len)
+        if L <= n0:
+            return code, state_code
+
+        sched = self._sched_for(L)
+        kind = jnp.asarray(sched.kind[:L])
+        s_idx = jnp.asarray(sched.s_idx[:L])
+        t_idx = jnp.asarray(sched.t_idx[:L])
+
+        # merged initial buffer: scatter given frame/state tokens
+        merged = jnp.zeros((b, L), jnp.int32)
+        fpos = sched.frame_pos[sched.frame_pos < L][:n0_frame]
+        merged = merged.at[:, jnp.asarray(fpos)].set(code[:, : len(fpos)])
+        if state_code is not None and n0_state > 0:
+            spos = sched.state_pos[sched.state_pos < L][:n0_state]
+            merged = merged.at[:, jnp.asarray(spos)].set(state_code[:, : len(spos)])
+        # generation starts at the smallest merged position not covered
+        covered = np.zeros(L, bool)
+        covered[fpos] = True
+        if state_code is not None and n0_state > 0:
+            covered[spos] = True
+        start = int(np.nonzero(~covered)[0][0]) if not covered.all() else L
+
+        merged = self._fill_jit(
+            params, rng, merged, start, kind, s_idx, t_idx, cond_code, delta, lbl
+        )
+
+        out_code = jnp.take(merged, jnp.asarray(sched.frame_pos[sched.frame_pos < L]), axis=1)
+        out_state = None
+        if state_code is not None:
+            out_state = jnp.take(merged, jnp.asarray(sched.state_pos[sched.state_pos < L]), axis=1)
+        return out_code, out_state
+
+    def _sched_for(self, merged_len):
+        cfg = self.cfg
+        # enough frames to cover merged_len
+        per = cfg.tot_size if cfg.state_size > 0 else cfg.size
+        n_frames = -(-merged_len // per) + 1
+        return build_schedule(cfg, n_frames)
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _fill_jit(self, params, rng, merged, start, kind, s_idx, t_idx,
+                  cond_code, delta, lbl):
+        cfg = self.cfg
+        b, L = merged.shape
+        model = self.model
+
+        prefix_len = 0
+        if cfg.cat and lbl is not None:
+            prefix_len += 1
+        if cfg.use_start_token:
+            prefix_len += 1
+        if cond_code is not None:
+            prefix_len += cond_code.shape[1]
+        max_len = prefix_len + L
+
+        cache = model.apply({"params": params}, b, max_len, method=GPT.init_cache)
+
+        # full-buffer embedding for prefill (placeholders beyond `start` are
+        # causally invisible to positions < start and overwritten during scan)
+        def embed_body(tokens):
+            fe = model.apply(
+                {"params": params}, tokens, kind, s_idx, t_idx,
+                method=GPT.embed_one,
+            )
+            return fe
+
+        body_emb = embed_body(merged)
+        prefix_emb = model.apply(
+            {"params": params}, b, cond_code, delta, lbl, method=GPT._prefix_emb
+        )
+        emb = body_emb if prefix_emb is None else jnp.concatenate([prefix_emb, body_emb], axis=1)
+        logits_all, cache = model.apply({"params": params}, emb, cache, method=GPT.prefill)
+        # logits at absolute position (prefix_len + start - 1) predict body[start]
+        logits0 = jax.lax.dynamic_index_in_dim(
+            logits_all, prefix_len + start - 1, axis=1, keepdims=False
+        )
+
+        kmax = max(
+            [k for k in [cfg.top_k, cfg.top_k_state, 1] if k is not None]
+        )
+
+        def sample(rng, logits, j):
+            is_state = kind[j] == KIND_STATE
+            temp = jnp.where(is_state, cfg.temperature_state, cfg.temperature)
+            logits = logits.astype(jnp.float32) / temp
+            # vocab masks
+            vocab = logits.shape[-1]
+            ar = jnp.arange(vocab)
+            frame_mask = ar < cfg.z_num
+            state_mask = ar < max(cfg.state_num, 1)
+            mask = jnp.where(is_state, state_mask, frame_mask)
+            logits = jnp.where(mask[None], logits, -jnp.inf)
+            if cfg.top_k is not None or cfg.top_k_state is not None:
+                vals, _ = jax.lax.top_k(logits, min(kmax, vocab))
+                kf = (cfg.top_k or 1) - 1
+                ks = (cfg.top_k_state or cfg.top_k or 1) - 1
+                thresh = jnp.where(is_state, vals[:, ks], vals[:, kf])
+                logits = jnp.where(logits < thresh[:, None], -jnp.inf, logits)
+            do_sample = jnp.where(is_state, cfg.sample_state or cfg.sample, cfg.sample)
+            sampled = jax.random.categorical(rng, logits, axis=-1)
+            greedy = jnp.argmax(logits, axis=-1)
+            return jnp.where(do_sample, sampled, greedy).astype(jnp.int32)
+
+        def step(carry, j):
+            merged, cache, logits, rng = carry
+            rng, sub = jax.random.split(rng)
+            tok = sample(sub, logits, j)
+            # only write positions >= start (earlier are given)
+            write = j >= start
+            old = jax.lax.dynamic_index_in_dim(merged, j, axis=1, keepdims=False)
+            tok = jnp.where(write, tok, old)
+            merged = jax.lax.dynamic_update_index_in_dim(merged, tok, j, axis=1)
+            emb1 = model.apply(
+                {"params": params}, tok, kind[j], s_idx[j], t_idx[j],
+                method=GPT.embed_one,
+            )[:, None]
+            new_logits, cache = model.apply(
+                {"params": params}, emb1, prefix_len + j, cache, method=GPT.decode_step
+            )
+            return (merged, cache, new_logits, rng), None
+
+        (merged, _, _, _), _ = jax.lax.scan(
+            step, (merged, cache, logits0, rng), jnp.arange(start, L)
+        )
+        return merged
+
+
+def _ce(logits, targets):
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
