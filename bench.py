@@ -1,0 +1,82 @@
+"""North-star benchmark: frames/sec/chip for a 16-frame 256x256 BAIR rollout.
+
+Runs the full doubly-autoregressive synthesis pipeline (KV-cached AR token
+generation for 15 frames + flow-warped image decode with context refresh) on
+one chip and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+`vs_baseline` is measured against the reference implementation's estimated
+A100 throughput for the same pipeline (~0.5 frames/sec: per-token full GPT
+forwards without KV cache dominate, `transformer_model.py:331-392` +
+per-frame decode/encode, `quantized_video_model.py:849-907`). The reference
+repo publishes no throughput numbers (BASELINE.md), so this constant is our
+recorded estimate of the PyTorch pipeline's speed; the driver-defined target
+is >= 4x A100 frames/sec/chip.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccvs_tpu.config import bairhd_config
+from ccvs_tpu.generate import VideoGenerator
+from ccvs_tpu.models import FrameAutoencoder, TokenTransformer
+
+# Estimated reference (PyTorch, 1xA100) end-to-end throughput for
+# scripts/bairhd/save_videos_state_off.sh-style 16-frame rollouts.
+REFERENCE_A100_FPS = 0.5
+
+BATCH = 2  # reference uses --batch_size_vid 2 (save_videos_state_off.sh:9)
+VID_LEN = 16
+N_CTX = 1
+
+
+def main():
+    cfg = bairhd_config()
+    ae = FrameAutoencoder(cfg.ae, dtype=jnp.bfloat16)
+    tr = TokenTransformer(cfg.gpt, dtype=jnp.bfloat16)
+    gen = VideoGenerator(cfg, ae, tr)
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "ae": jax.jit(ae.init)(key),
+        "gpt": jax.jit(lambda k: tr.init(k, batch=BATCH))(key),
+    }
+    vid = jax.random.uniform(key, (BATCH, VID_LEN, 256, 256, 3), jnp.float32, -1, 1)
+
+    def run(rng):
+        out = gen.generate(params, rng, vid, rec=False, n_ctx_frames=N_CTX)
+        return out["fake"]
+
+    # compile + warmup
+    fake = run(jax.random.PRNGKey(1))
+    jax.block_until_ready(fake)
+    fake = run(jax.random.PRNGKey(2))
+    jax.block_until_ready(fake)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        jax.block_until_ready(run(jax.random.PRNGKey(3 + i)))
+    dt = (time.perf_counter() - t0) / iters
+
+    frames = BATCH * (VID_LEN - N_CTX)  # synthesized frames per run
+    fps = frames / dt
+    print(
+        json.dumps(
+            {
+                "metric": "bair_16f_256px_rollout",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / REFERENCE_A100_FPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Threaded prefetching batch loader.
+
+Replaces torch DataLoader workers (`tools/engine.py:91-99`): a thread pool
+decodes/augments samples on host CPU while the TPU computes, and a small
+prefetch queue keeps batches ready. A C++ decode path can be slotted in via
+``ccvs_tpu.data.native`` when built.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from ccvs_tpu.data.base import group_collate
+
+
+class PrefetchLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 8, prefetch: int = 2, drop_last: bool = True,
+                 collate: Callable = group_collate, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.collate = collate
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_order(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._index_order()
+        self.epoch += 1
+        nb = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                    items = list(pool.map(self.dataset.__getitem__, sel))
+                    q.put(self.collate(items))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+def infinite(loader: PrefetchLoader) -> Iterator[dict]:
+    while True:
+        yield from loader

@@ -1,0 +1,153 @@
+"""Video synthesis pipeline: AR token generation + doubly-AR image decode.
+
+TPU-native re-implementation of `helpers/generator.py`. The full synthesis
+path — encode context, conditionally assemble state/audio/p2p/class tokens,
+autoregressively generate latent tokens (KV-cached), and decode frames with
+context propagation — runs as a handful of jit-compiled programs with no host
+round-trips inside the hot loops.
+"""
+
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccvs_tpu.config import Config
+from ccvs_tpu.models.autoencoder import FrameAutoencoder
+from ccvs_tpu.models.state_model import StateModel
+from ccvs_tpu.models.stft_model import StftModel
+from ccvs_tpu.models.transformer import TokenTransformer
+from ccvs_tpu.utils import video_io
+
+
+class VideoGenerator:
+    """Composes the frozen models into the synthesis pipeline
+    (`helpers/generator.py:57-230`)."""
+
+    def __init__(self, cfg: Config, ae: FrameAutoencoder, transformer: TokenTransformer,
+                 state_model: Optional[StateModel] = None,
+                 stft_model: Optional[StftModel] = None):
+        self.cfg = cfg
+        self.ae = ae
+        self.transformer = transformer
+        self.state_model = state_model
+        self.stft_model = stft_model
+
+    def generate(self, params, rng, real_vid, stft=None, vid_lbl=None,
+                 rec=True, n_ctx_frames: Optional[int] = None):
+        """Synthesise videos continuing `real_vid`'s first context frames.
+
+        Args:
+          params: dict with keys "ae", "gpt" (+ "state", "stft").
+          real_vid: (B, T, H, W, 3) in [-1, 1].
+          n_ctx_frames: context frames (default `cond_len / tokens_per_frame`,
+            reference `generator.py:94-101`).
+
+        Returns:
+          dict(fake=(B, T, H, W, 3) [, rec=..., state=..., fake_state=...]).
+        """
+        cfg = self.cfg
+        gcfg, acfg = cfg.gpt, cfg.ae
+        b, t = real_vid.shape[:2]
+        size = acfg.tokens_per_frame
+        if n_ctx_frames is None:
+            n_ctx_frames = gcfg.cond_len // size
+
+        enc = self.ae.encode(params["ae"], real_vid)
+        code_all = enc["code"].reshape(b, -1)  # (B, T*size)
+
+        out = {}
+        state_code = None
+        cond_code = None
+        delta = None
+        real_state = None
+
+        if gcfg.state and self.state_model is not None and not gcfg.stft:
+            z_all = self.ae.embed_code(params["ae"], enc["code"])
+            real_state = self.state_model.estimate(params["state"], z_all)
+            state_code_full = self.state_model.encode(params["state"], state=real_state)
+            out["state"] = real_state
+            # keep_state: condition on the full (ground-truth) state track
+            state_code = state_code_full  # given stream; sampling mode crops below
+        if gcfg.stft and self.stft_model is not None and stft is not None:
+            state_code = self.stft_model.encode(params["stft"], stft)
+
+        # token budget (reference `generator.py:83-92`)
+        if gcfg.p2p:
+            cond_step, t_step = 1, t - 1
+            cond_code = code_all[:, -gcfg.z_chunk :]
+            delta = jnp.full((b,), t - 1, jnp.int32)
+        else:
+            cond_step, t_step = 0, t
+        total_len = (cond_step + t_step) * size
+        if gcfg.state or gcfg.stft or gcfg.deblurring:
+            total_len += t_step * gcfg.state_size
+
+        ctx_code = code_all[:, : n_ctx_frames * size]
+        keep_state_stream = gcfg.stft  # audio is always a given stream
+        if state_code is not None and not keep_state_stream:
+            # sampling mode: crop states to context proportion
+            state_code = state_code[:, : n_ctx_frames * gcfg.state_size]
+
+        gen = self.transformer.generate(
+            params["gpt"], rng, ctx_code, state_code=state_code,
+            cond_code=cond_code, delta=delta, lbl=vid_lbl, total_len=total_len,
+        )
+
+        codes = gen["code"][:, : t * size].reshape(b, t, size)
+        fake = self.ae.decode_video(
+            params["ae"], codes, ctx_frames=real_vid[:, :n_ctx_frames],
+            n_ctx=n_ctx_frames,
+        )
+        if gcfg.p2p:
+            fake = jnp.concatenate([fake[:, :-1], real_vid[:, -1:]], axis=1)
+        out["fake"] = fake
+
+        if gen.get("state_code") is not None and self.state_model is not None and not gcfg.stft:
+            sc = gen["state_code"][:, : t * gcfg.state_size]
+            out["fake_state"] = self.state_model.decode(params["state"], sc).reshape(
+                b, t, gcfg.state_size
+            )
+
+        if rec:
+            out["rec"] = self.ae.decode_video(
+                params["ae"], enc["code"].reshape(b, t, size),
+                ctx_frames=real_vid[:, :n_ctx_frames], n_ctx=n_ctx_frames,
+            )
+        return out
+
+    def save_batch(self, result_path, global_iter, batch_size, real_vid, out,
+                   fps=4, imagenet_norm=False, dataset="bairhd"):
+        """Write real/fake/rec videos (`helpers/generator.py:199-230`)."""
+        names = {"real": np.asarray(real_vid)}
+        if "fake" in out:
+            names["fake"] = np.asarray(out["fake"])
+        if "rec" in out:
+            names["rec"] = np.asarray(out["rec"])
+        for name, vid in names.items():
+            u8 = video_io.to_uint8(vid, imagenet_norm=imagenet_norm)
+            for i in range(u8.shape[0]):
+                vid_id = batch_size * global_iter + i
+                path = os.path.join(result_path, name, f"vid_{vid_id:05d}.avi")
+                video_io.write_video(path, u8[i], fps=fps)
+        # state-marked copies
+        for name, key in [("real_state", "state"), ("fake_state", "fake_state")]:
+            if key in out:
+                src = names["real" if key == "state" else "fake"]
+                st = np.asarray(out[key])
+                u8 = video_io.to_uint8(src, imagenet_norm=imagenet_norm)
+                h = u8.shape[2]
+                for i in range(u8.shape[0]):
+                    marked = u8[i].copy()
+                    for j in range(marked.shape[0]):
+                        x = min(int(h * st[i, j, 0]), h - 1)
+                        y = min(int(h * st[i, j, 1]), h - 1)
+                        marked[j] = video_io.draw_cross(marked[j], x, y)
+                    vid_id = batch_size * global_iter + i
+                    path = os.path.join(result_path, name, f"vid_{vid_id:05d}.avi")
+                    video_io.write_video(path, marked, fps=fps)

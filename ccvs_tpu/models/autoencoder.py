@@ -171,7 +171,27 @@ class FrameAutoencoder:
 
     # ---------------- video decode (doubly-AR rollout) ----------------
 
-    def decode_video(self, params, codes, ctx_frames=None, n_ctx=1, cond_inter=None):
+    def _decode_step_fn(self, params, fifo, curr, z_t):
+        """One rollout step: decode frame, refresh context, push FIFO."""
+        cfg = self.cfg
+        mask = self.fifo_mask(z_t.shape[0], curr)
+        rgb, inter_dec = self.decode_frame(
+            params, z_t, fifo, mask, has_ctx=True, inter_pre_warping=False
+        )
+        if cfg.skip_mode == "enc":
+            new_inter = self.refresh_inter(params, rgb)
+        else:  # "dec"
+            new_inter = inter_dec
+        fifo = self.fifo_push(fifo, new_inter, curr, cfg.keep_first, cfg.n_first)
+        return fifo, rgb
+
+    def _get_jit_step(self):
+        if not hasattr(self, "_jit_step_cache"):
+            self._jit_step_cache = jax.jit(self._decode_step_fn)
+        return self._jit_step_cache
+
+    def decode_video(self, params, codes, ctx_frames=None, n_ctx=1, cond_inter=None,
+                     use_scan=False):
         """Decode a token video autoregressively in image space.
 
         Re-implements `QVidModel.decode` (`quantized_video_model.py:822-918`)
@@ -215,23 +235,29 @@ class FrameAutoencoder:
                     fifo[r], src, (0, m - take) + (0,) * (fifo[r].ndim - 2)
                 )
 
-        def step(carry, z_t_and_idx):
-            fifo, curr = carry
-            z_t, _ = z_t_and_idx
-            mask = self.fifo_mask(b, curr)
-            rgb, inter_dec = self.decode_frame(
-                params, z_t, fifo, mask, has_ctx=True, inter_pre_warping=False
-            )
-            if cfg.skip_mode == "enc":
-                new_inter = self.refresh_inter(params, rgb)
-            else:  # "dec"
-                new_inter = inter_dec
-            fifo = self.fifo_push(fifo, new_inter, curr, cfg.keep_first, cfg.n_first)
-            return (fifo, curr + 1), rgb
-
         z_gen = jnp.moveaxis(z_all[:, n_ctx:], 1, 0)  # (T-n_ctx, B, h, w, z)
-        idxs = jnp.arange(t - n_ctx)
-        (_, _), frames = jax.lax.scan(step, (fifo, jnp.asarray(n_ctx, jnp.int32)), (z_gen, idxs))
+        if use_scan:
+            def scan_step(carry, z_t):
+                fifo, curr = carry
+                fifo, rgb = self._decode_step_fn(params, fifo, curr, z_t)
+                return (fifo, curr + 1), rgb
+
+            (_, _), frames = jax.lax.scan(
+                scan_step, (fifo, jnp.asarray(n_ctx, jnp.int32)), z_gen
+            )
+        else:
+            # One jitted per-frame program reused T-n_ctx times: identical
+            # steady-state speed to the fused scan but a much smaller XLA
+            # program (the scan body contains decoder + encoder at k=M
+            # contexts, which can overwhelm remote-compile paths).
+            jstep = self._get_jit_step()
+            outs = []
+            curr = jnp.asarray(n_ctx, jnp.int32)
+            for i in range(t - n_ctx):
+                fifo, rgb = jstep(params, fifo, curr, z_gen[i])
+                outs.append(rgb)
+                curr = curr + 1
+            frames = jnp.stack(outs, axis=0)
         frames = jnp.moveaxis(frames, 0, 1)  # (B, T-n_ctx, H, W, 3)
 
         if ctx_rgb is not None:

@@ -111,6 +111,8 @@ class TokenTransformer:
         """
         cfg = self.cfg
         b = code.shape[0]
+        if cfg.state_size > 0 and state_code is None:
+            state_code = jnp.zeros((b, 0), jnp.int32)
         n_state0 = state_code.shape[1] if state_code is not None else 0
 
         cap = self._capacity(cond_code, n_state0_cap=True)
@@ -143,7 +145,7 @@ class TokenTransformer:
                 target_merged_len=tmp_merged + add,
             )
             code = jnp.concatenate([code, new_code[:, tmp_code.shape[1] :]], axis=1)
-            if state_code is not None:
+            if state_code is not None and new_state.shape[1] > tmp_state.shape[1]:
                 state_code = jnp.concatenate(
                     [state_code, new_state[:, tmp_state.shape[1] :]], axis=1
                 )
@@ -185,15 +187,21 @@ class TokenTransformer:
         if state_code is not None and n0_state > 0:
             spos = sched.state_pos[sched.state_pos < L][:n0_state]
             merged = merged.at[:, jnp.asarray(spos)].set(state_code[:, : len(spos)])
-        # generation starts at the smallest merged position not covered
+        # positions whose tokens are given (context frames; provided state /
+        # audio streams). Given tokens are never overwritten — the reference
+        # achieves the same by always reading provided streams positionally
+        # during embedding (`mingpt.py:259-282`).
         covered = np.zeros(L, bool)
         covered[fpos] = True
         if state_code is not None and n0_state > 0:
             covered[spos] = True
         start = int(np.nonzero(~covered)[0][0]) if not covered.all() else L
+        if start >= L:
+            return code, state_code
 
         merged = self._fill_jit(
-            params, rng, merged, start, kind, s_idx, t_idx, cond_code, delta, lbl
+            params, rng, merged, start, jnp.asarray(covered), kind, s_idx, t_idx,
+            cond_code, delta, lbl,
         )
 
         out_code = jnp.take(merged, jnp.asarray(sched.frame_pos[sched.frame_pos < L]), axis=1)
@@ -206,11 +214,13 @@ class TokenTransformer:
         cfg = self.cfg
         # enough frames to cover merged_len
         per = cfg.tot_size if cfg.state_size > 0 else cfg.size
-        n_frames = -(-merged_len // per) + 1
+        n_frames = min(-(-merged_len // per), cfg.num_blocks)
+        if n_frames * per < merged_len:  # partial extra frame within capacity
+            n_frames = -(-merged_len // per)
         return build_schedule(cfg, n_frames)
 
     @partial(jax.jit, static_argnums=(0, 4))
-    def _fill_jit(self, params, rng, merged, start, kind, s_idx, t_idx,
+    def _fill_jit(self, params, rng, merged, start, given, kind, s_idx, t_idx,
                   cond_code, delta, lbl):
         cfg = self.cfg
         b, L = merged.shape
@@ -277,10 +287,9 @@ class TokenTransformer:
             merged, cache, logits, rng = carry
             rng, sub = jax.random.split(rng)
             tok = sample(sub, logits, j)
-            # only write positions >= start (earlier are given)
-            write = j >= start
+            # never overwrite given tokens (context frames, provided states)
             old = jax.lax.dynamic_index_in_dim(merged, j, axis=1, keepdims=False)
-            tok = jnp.where(write, tok, old)
+            tok = jnp.where(given[j], old, tok)
             merged = jax.lax.dynamic_update_index_in_dim(merged, tok, j, axis=1)
             emb1 = model.apply(
                 {"params": params}, tok, kind[j], s_idx[j], t_idx[j],

@@ -370,11 +370,16 @@ class GPT(nn.Module):
         return self.head(x)[:, 0], new_cache
 
     def embed_one(self, token, kind, s_idx, t_idx, delta=None):
-        """Embedding of a single body token at schedule position attributes."""
-        fe = self.tok_emb(token) + self._frame_pos_emb(s_idx, t_idx)
+        """Embedding of body token(s) at schedule position attributes.
+
+        Works for a single token (scalar attrs) or a whole buffer (attrs of
+        shape (L,), tokens (B, L)).
+        """
+        fe = self.tok_emb(jnp.minimum(token, self.cfg.z_num - 1)) + self._frame_pos_emb(s_idx, t_idx)
         if self.cfg.state_num > 0 and self.cfg.state_size > 0:
             se = self.state_tok_emb(jnp.minimum(token, self.cfg.state_num - 1)) + self._state_pos_emb(s_idx, t_idx)
-            return jnp.where(kind == KIND_STATE, se, fe)
+            is_state = jnp.asarray(kind == KIND_STATE)[..., None]
+            return jnp.where(is_state, se, fe)
         return fe
 
 

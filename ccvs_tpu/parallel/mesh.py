@@ -1,0 +1,46 @@
+"""Device mesh construction and sharding helpers.
+
+The reference scales with data parallelism only (`SURVEY.md` section 2.7;
+apex DDP over NCCL, `tools/engine.py:71-74`). Here the same strategy is a
+1-axis ``data`` mesh — but the mesh keeps a ``model`` axis available so the
+GPT can be tensor-sharded (heads / mlp) when scaled beyond one chip's HBM,
+without restructuring the train steps.
+
+Multi-host: `jax.distributed.initialize()` + the same mesh spans slices; XLA
+routes the gradient psum over ICI within a slice and DCN across slices.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
+    """('data', 'model') mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    assert n % model_parallel == 0
+    grid = np.asarray(devs[:n]).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-axis sharding (leading dim over 'data')."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch with its leading axis sharded over 'data'."""
+    sh = data_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    sh = replicate(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,104 @@
+"""Multi-chip dry run: the full training step jitted over a device mesh on
+tiny shapes. Exercised by `__graft_entry__.dryrun_multichip` on a virtual CPU
+mesh and usable as a smoke test on real pods."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ccvs_tpu.config import AutoencoderConfig, TransformerConfig
+from ccvs_tpu.models.autoencoder import FrameAutoencoder
+from ccvs_tpu.models.transformer import TokenTransformer
+from ccvs_tpu.nn import vgg as vgg_mod
+from ccvs_tpu.nn.discriminators import ImageDiscriminator, VideoDiscriminator
+from ccvs_tpu.train.ae_losses import AELosses
+from ccvs_tpu.train.steps import make_ae_steps, make_transformer_step
+
+
+def run_tiny_multichip_step(mesh: Mesh) -> None:
+    """One data-parallel AE (G+D+R1) step and one transformer step over the
+    mesh, on 8x8 images. Batch is sharded over 'data'; params replicated;
+    gradient all-reduce is XLA's implicit psum."""
+    n_data = mesh.shape["data"]
+    ae_cfg = AutoencoderConfig(
+        necf=8, necf_mult=(1, 2), ndcf=8, ndcf_mult=(1, 2),
+        z_size=16, z_num=32, z_shape=(4, 4), max_dim=8,
+        inter_p=0.5, skip_memory=2, skip_context=(1, 2),
+        use_di=True, use_dv=True, use_vgg_img=False, use_vgg_vid=False,
+        use_direct_recovery_img=True, use_direct_recovery_vid=True,
+        slide_inter=True, n_consecutive_img=2, vid_len=3,
+        load_elastic_view=False, elastic_corruption=False, d_reg_every=2,
+        stddev_group=2,
+    )
+    gpt_cfg = TransformerConfig(
+        z_num=32, z_len=32, z_chunk=16, num_blocks=2, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+    )
+
+    ae = FrameAutoencoder(ae_cfg, dtype=jnp.float32)
+    di = ImageDiscriminator(ae_cfg)
+    dv = VideoDiscriminator(ae_cfg, vid_len=ae_cfg.vid_len)
+    losses = AELosses(ae_cfg, ae, di=di, dv=dv)
+
+    key = jax.random.PRNGKey(0)
+    gen = ae.init(key)
+    img = jnp.zeros((2, 8, 8, 3), jnp.float32)
+    vid = jnp.zeros((2, ae_cfg.vid_len, 8, 8, 3), jnp.float32)
+    disc = {
+        "di": di.init(key, img)["params"],
+        "dv": dv.init(key, vid)["params"],
+    }
+
+    init_state, g_step, d_step, r1_step = make_ae_steps(losses, vgg_params=None)
+    state = init_state(key, gen, disc)
+
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P("data"))
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+
+    bsz = 2 * n_data  # group_size=2 per sample x n_data shards
+    batch_img = {
+        "img": jax.device_put(
+            jax.random.uniform(key, (bsz * 2, 8, 8, 3), jnp.float32, -1, 1), dsh
+        )
+    }
+    batch_vid = {
+        "vid": jax.device_put(
+            jax.random.uniform(key, (bsz, ae_cfg.vid_len, 8, 8, 3), jnp.float32, -1, 1), dsh
+        )
+    }
+
+    g_img = jax.jit(lambda s, b, r: g_step(s, b, r, "img"))
+    d_img = jax.jit(lambda s, b, f, r: d_step(s, b, f, r, "img"))
+    r1_img = jax.jit(lambda s, b: r1_step(s, b, "img"))
+    g_vid = jax.jit(lambda s, b, r: g_step(s, b, r, "vid"))
+    d_vid = jax.jit(lambda s, b, f, r: d_step(s, b, f, r, "vid"))
+
+    rng = jax.random.PRNGKey(1)
+    state, gm, fake = g_img(state, batch_img, rng)
+    state, dm = d_img(state, batch_img, fake, rng)
+    state, rm = r1_img(state, batch_img)
+    state, gmv, fakev = g_vid(state, batch_vid, rng)
+    state, dmv = d_vid(state, batch_vid, fakev, rng)
+    jax.block_until_ready(state)
+    assert np.isfinite(float(gm["g_loss"])) and np.isfinite(float(dm["d_loss"]))
+    assert np.isfinite(float(gmv["g_loss"])) and np.isfinite(float(dmv["d_loss"]))
+
+    # transformer data-parallel step
+    tr = TokenTransformer(gpt_cfg, dtype=jnp.float32)
+    params = tr.init(key, batch=1)
+    init_t, t_step = make_transformer_step(tr, gpt_cfg, n_iter=10)
+    tstate = init_t(params)
+    tstate = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tstate)
+    code = jax.device_put(
+        jax.random.randint(key, (n_data * 2, gpt_cfg.z_len), 0, gpt_cfg.z_num), dsh
+    )
+    tstate, tm = t_step(tstate, {"code": code})
+    jax.block_until_ready(tstate)
+    assert np.isfinite(float(tm["nll"]))
+    print(
+        f"dryrun_multichip ok: mesh={dict(mesh.shape)} "
+        f"g={float(gm['g_loss']):.3f} d={float(dm['d_loss']):.3f} "
+        f"gv={float(gmv['g_loss']):.3f} nll={float(tm['nll']):.3f}"
+    )

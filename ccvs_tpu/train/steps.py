@@ -1,0 +1,150 @@
+"""Jitted SPMD train steps.
+
+Replaces the reference trainer inner loops (`helpers/frame_autoencoder_
+trainer.py:49-79`, `helpers/transformer_trainer.py:56-87`). Each step is one
+XLA program; under a sharded-batch `jax.jit` the gradient all-reduce and the
+ADA sign statistic (`tools/engine.py:127-141`, `modules/non_leaking.py:11-47`)
+become implicit ICI collectives.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ccvs_tpu.config import AutoencoderConfig, TransformerConfig
+from ccvs_tpu.train.ae_losses import AELosses
+from ccvs_tpu.train.states import (
+    AETrainState,
+    SimpleTrainState,
+    ema_update,
+    make_ae_optimizers,
+    make_transformer_optimizer,
+)
+
+
+def make_ae_steps(losses: AELosses, vgg_params, aug_fn=None):
+    """Builds jittable (g_step, d_step, r1_img_step, r1_vid_step) closures."""
+    cfg = losses.cfg
+    opt_g, opt_d = make_ae_optimizers(cfg)
+
+    def init_state(key, gen, disc):
+        return AETrainState(
+            step=jnp.zeros((), jnp.int32),
+            gen=gen,
+            disc=disc,
+            opt_g=opt_g.init(gen),
+            opt_d=opt_d.init(disc),
+            ema=jax.tree_util.tree_map(jnp.copy, gen),
+            ada_p=jnp.asarray(cfg.aug_p, jnp.float32),
+            ada_rt=jnp.zeros((), jnp.float32),
+        )
+
+    def _aug(state):
+        if not cfg.use_aug or aug_fn is None:
+            return None
+        return lambda x, rng=None: aug_fn(x, state.ada_p)
+
+    def g_step(state, batch, rng, mode: str):
+        def loss_fn(gen):
+            if mode == "img":
+                return losses.img_generator_loss(gen, state.disc, vgg_params, batch, rng)
+            return losses.vid_generator_loss(gen, state.disc, vgg_params, batch, rng)
+
+        (loss, (metrics, fake_data)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.gen)
+        updates, new_opt = opt_g.update(grads, state.opt_g, state.gen)
+        gen = optax.apply_updates(state.gen, updates)
+        ema = ema_update(state.ema, gen, cfg.ema_decay) if cfg.use_ema else state.ema
+        state = state.replace(gen=gen, opt_g=new_opt, ema=ema, step=state.step + 1)
+        metrics["g_loss"] = loss
+        return state, metrics, fake_data
+
+    def d_step(state, batch, fake_data, rng, mode: str):
+        def loss_fn(disc):
+            if mode == "img":
+                l, (m, real_score) = losses.img_discriminator_loss(
+                    disc, batch["img"], fake_data["img"], fake_data.get("z"),
+                    aug_fn=None,
+                )
+                return l, (m, real_score)
+            l, m = losses.vid_discriminator_loss(
+                disc, batch["vid"], fake_data["vid"], fake_data.get("z")
+            )
+            return l, (m, None)
+
+        (loss, (metrics, real_score)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.disc)
+        updates, new_opt = opt_d.update(grads, state.opt_d, state.disc)
+        disc = optax.apply_updates(state.disc, updates)
+        state = state.replace(disc=disc, opt_d=new_opt)
+        # ADA controller (`modules/non_leaking.py:28-47`): adjust p by the sign
+        # of mean(sign(D(real))) - target. Computed over the global batch.
+        if cfg.use_aug and cfg.aug_p == 0 and real_score is not None and mode == "img":
+            r_t = jnp.mean(jnp.sign(real_score.astype(jnp.float32)))
+            n = real_score.shape[0]
+            adjust = jnp.sign(r_t - cfg.ada_target) * n / cfg.ada_length
+            new_p = jnp.clip(state.ada_p + adjust, 0.0, 1.0)
+            state = state.replace(ada_p=new_p, ada_rt=r_t)
+            metrics["rt_stat"] = r_t
+        metrics["d_loss"] = loss
+        return state, metrics
+
+    def r1_step(state, batch, mode: str):
+        def loss_fn(disc):
+            if mode == "img":
+                return losses.img_r1_loss(disc, batch["img"], aug_fn=None)
+            return losses.vid_r1_loss(disc, batch["vid"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.disc)
+        updates, new_opt = opt_d.update(grads, state.opt_d, state.disc)
+        disc = optax.apply_updates(state.disc, updates)
+        return state.replace(disc=disc, opt_d=new_opt), {"r1_" + mode: loss}
+
+    return init_state, g_step, d_step, r1_step
+
+
+def make_transformer_step(transformer, cfg: TransformerConfig, n_iter: int):
+    """(init_state, step) for the latent transformer
+    (`helpers/transformer_trainer.py:56-87`)."""
+    opt = make_transformer_optimizer(cfg, n_iter)
+
+    def init_state(params):
+        return SimpleTrainState(step=jnp.zeros((), jnp.int32), params=params, opt=opt.init(params))
+
+    @jax.jit
+    def step(state, batch):
+        def loss_fn(params):
+            return transformer.loss(
+                params,
+                batch["code"],
+                state_code=batch.get("state_code"),
+                cond_code=batch.get("cond_code"),
+                delta=batch.get("delta"),
+                lbl=batch.get("vid_lbl"),
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = opt.update(grads, state.opt, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params, opt=new_opt), metrics
+
+    return init_state, step
+
+
+def make_simple_step(loss_fn, opt):
+    """Generic (init_state, step) for state-estimator / stft trainers."""
+
+    def init_state(params):
+        return SimpleTrainState(step=jnp.zeros((), jnp.int32), params=params, opt=opt.init(params))
+
+    @jax.jit
+    def step(state, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch), has_aux=True
+        )(state.params)
+        updates, new_opt = opt.update(grads, state.opt, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params, opt=new_opt), metrics
+
+    return init_state, step

@@ -1,0 +1,121 @@
+"""End-to-end generation pipeline tests on a tiny config (CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ccvs_tpu.config import (
+    AutoencoderConfig,
+    Config,
+    DataConfig,
+    StateConfig,
+    TransformerConfig,
+)
+from ccvs_tpu.generate import VideoGenerator
+from ccvs_tpu.models import FrameAutoencoder, StateModel, TokenTransformer
+from ccvs_tpu.utils import video_io
+
+AE = AutoencoderConfig(
+    necf=8, necf_mult=(1, 2), ndcf=8, ndcf_mult=(1, 2),
+    z_size=16, z_num=32, z_shape=(4, 4), max_dim=8,
+    inter_p=0.5, skip_memory=3, skip_context=(1, 2, 3),
+)
+GPTC = TransformerConfig(
+    z_num=32, z_len=64, z_chunk=16, num_blocks=4, cond_len=16,
+    n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal", top_k=5,
+)
+
+
+def _models():
+    ae = FrameAutoencoder(AE, dtype=jnp.float32)
+    tr = TokenTransformer(GPTC, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params = {"ae": ae.init(key), "gpt": tr.init(key, batch=2)}
+    return ae, tr, params
+
+
+def test_encode_decode_video_roundtrip(rng):
+    ae, tr, params = _models()
+    vid = jnp.asarray(rng.randn(2, 4, 8, 8, 3).astype(np.float32)) * 0.1
+    enc = ae.encode(params["ae"], vid)
+    assert enc["code"].shape == (2, 4, 16)
+    out = ae.decode_video(params["ae"], enc["code"], ctx_frames=vid[:, :1], n_ctx=1)
+    assert out.shape == (2, 4, 8, 8, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_generate_within_capacity(rng):
+    ae, tr, params = _models()
+    vid = jnp.asarray(rng.randn(2, 4, 8, 8, 3).astype(np.float32)) * 0.1
+    gen = VideoGenerator(Config(ae=AE, gpt=GPTC), ae, tr)
+    out = gen.generate(params, jax.random.PRNGKey(1), vid, rec=True)
+    assert out["fake"].shape == (2, 4, 8, 8, 3)
+    assert out["rec"].shape == (2, 4, 8, 8, 3)
+    assert np.isfinite(np.asarray(out["fake"])).all()
+
+
+def test_generate_sliding_window(rng):
+    """6 frames x 16 tokens = 96 > z_len 64 -> sliding-window refills."""
+    ae, tr, params = _models()
+    vid = jnp.asarray(rng.randn(1, 6, 8, 8, 3).astype(np.float32)) * 0.1
+    gen = VideoGenerator(Config(ae=AE, gpt=GPTC), ae, tr)
+    out = gen.generate(params, jax.random.PRNGKey(1), vid, rec=False)
+    assert out["fake"].shape == (1, 6, 8, 8, 3)
+    assert np.isfinite(np.asarray(out["fake"])).all()
+
+
+def test_generate_given_context_preserved(rng):
+    """Context tokens must pass through generation unchanged."""
+    ae, tr, params = _models()
+    code = jnp.asarray(rng.randint(0, 32, (2, 16)))
+    gen = tr.generate(params["gpt"], jax.random.PRNGKey(0), code, total_len=64)
+    assert gen["code"].shape == (2, 64)
+    np.testing.assert_array_equal(np.asarray(gen["code"][:, :16]), np.asarray(code))
+
+
+def test_generate_with_state_interleave(rng):
+    cfg = TransformerConfig(
+        z_num=32, z_len=72, z_chunk=18, num_blocks=4, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        state=True, state_num=8, state_size=2, top_k=5, sample_state=True, top_k_state=3,
+    )
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    params = tr.init(jax.random.PRNGKey(0), batch=1)
+    code = jnp.asarray(rng.randint(0, 32, (1, 16)))
+    state = jnp.asarray(rng.randint(0, 8, (1, 2)))
+    gen = tr.generate(params, jax.random.PRNGKey(1), code, state_code=state, total_len=72)
+    assert gen["code"].shape == (1, 64)
+    assert gen["state_code"].shape == (1, 8)
+    np.testing.assert_array_equal(np.asarray(gen["state_code"][:, :2]), np.asarray(state))
+
+
+def test_generate_p2p(rng):
+    cfg = TransformerConfig(
+        z_num=32, z_len=64, z_chunk=16, num_blocks=4, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        p2p=True, top_k=5,
+    )
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    code = jnp.asarray(rng.randint(0, 32, (1, 16)))
+    cond = jnp.asarray(rng.randint(0, 32, (1, 16)))
+    delta = jnp.asarray([3])
+    params = tr.init(jax.random.PRNGKey(0), batch=1)
+    gen = tr.generate(
+        params, jax.random.PRNGKey(1), code, cond_code=cond, delta=delta,
+        total_len=64,  # 48 body + 16 cond
+    )
+    assert gen["code"].shape == (1, 48)
+
+
+def test_video_io_roundtrip(rng):
+    # smooth gradient frames (JPEG-friendly, like real video content)
+    ramp = np.linspace(0, 255, 32, dtype=np.uint8)
+    frames = np.stack(
+        [np.tile(ramp[None, :, None], (32, 1, 3)) + 10 * i for i in range(5)]
+    ).clip(0, 255).astype(np.uint8)
+    path = "/tmp/ccvs_test_vid.avi"
+    video_io.write_video(path, frames, fps=4)
+    back = video_io.read_video(path)
+    assert back.shape == frames.shape
+    assert np.abs(back.astype(int) - frames.astype(int)).mean() < 3
