@@ -1,0 +1,194 @@
+"""Command-line entry points.
+
+Replaces the reference's per-task launcher modules (`helpers/*_trainer.py`
+__main__ blocks + `torch.distributed.launch`); SPMD init is just
+`jax.distributed.initialize()` on multi-host.
+
+Usage:
+    python -m ccvs_tpu.cli train-ae --preset bairhd [--n-iter N] [--resume]
+    python -m ccvs_tpu.cli train-transformer --preset bairhd --ae-ckpt DIR
+    python -m ccvs_tpu.cli train-state --preset bairhd_state --ae-ckpt DIR
+    python -m ccvs_tpu.cli train-stft --preset drums
+    python -m ccvs_tpu.cli generate --preset bairhd --ae-ckpt DIR --gpt-ckpt DIR
+    python -m ccvs_tpu.cli eval-fvd --real DIR --fake DIR
+    python -m ccvs_tpu.cli eval-metrics --real DIR --fake DIR
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--preset", default="bairhd", help="config preset name")
+    p.add_argument("--name", default=None)
+    p.add_argument("--save-path", default="./runs")
+    p.add_argument("--n-iter", type=int, default=None)
+    p.add_argument("--dataroot", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--vgg-npz", default=None, help="vendored VGG19 weights")
+    p.add_argument("--resume", action="store_true")
+
+
+def _config(args):
+    from ccvs_tpu.config import get_config
+
+    cfg = get_config(args.preset)
+    over = {"save_path": args.save_path, "seed": args.seed}
+    if args.name:
+        over["name"] = args.name
+    if args.n_iter:
+        over["n_iter"] = args.n_iter
+    cfg = cfg.replace(**over)
+    if args.dataroot:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, dataroot=args.dataroot))
+    return cfg
+
+
+def _load_ae_params(args, cfg):
+    from ccvs_tpu.utils.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(args.ae_ckpt)
+    state = ckpt.load("qvid", args.ae_which)
+    # prefer EMA weights at inference (`quantized_video_model.py:177-179`)
+    return state.get("ema") or state["gen"]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="ccvs_tpu")
+    sub = parser.add_subparsers(dest="task", required=True)
+
+    for task in ("train-ae", "train-transformer", "train-state", "train-stft", "generate"):
+        p = sub.add_parser(task)
+        _add_common(p)
+        if task != "train-ae":
+            p.add_argument("--ae-ckpt", default=None)
+            p.add_argument("--ae-which", default="latest")
+        if task == "generate":
+            p.add_argument("--gpt-ckpt", required=True)
+            p.add_argument("--gpt-which", default="latest")
+            p.add_argument("--state-ckpt", default=None)
+            p.add_argument("--stft-ckpt", default=None)
+            p.add_argument("--n-batches", type=int, default=640)
+            p.add_argument("--rec-only", action="store_true")
+
+    for task in ("eval-fvd", "eval-metrics"):
+        p = sub.add_parser(task)
+        p.add_argument("--real", required=True)
+        p.add_argument("--fake", required=True)
+        p.add_argument("--i3d-npz", default=None)
+        p.add_argument("--vgg-npz", default=None)
+        p.add_argument("--chunk", type=int, default=256)
+
+    args = parser.parse_args(argv)
+
+    if args.task == "train-ae":
+        from ccvs_tpu.train.ae_trainer import FrameAutoencoderTrainer
+
+        cfg = _config(args)
+        FrameAutoencoderTrainer(cfg, vgg_npz=args.vgg_npz).run(resume=args.resume)
+
+    elif args.task == "train-transformer":
+        from ccvs_tpu.train.transformer_trainer import TransformerTrainer
+
+        cfg = _config(args)
+        ae_params = _load_ae_params(args, cfg)
+        TransformerTrainer(cfg, ae_params).run(resume=args.resume)
+
+    elif args.task == "train-state":
+        from ccvs_tpu.train.state_trainer import StateEstimatorTrainer
+
+        cfg = _config(args)
+        ae_params = _load_ae_params(args, cfg)
+        StateEstimatorTrainer(cfg, ae_params).run()
+
+    elif args.task == "train-stft":
+        from ccvs_tpu.train.state_trainer import StftAutoencoderTrainer
+
+        cfg = _config(args)
+        StftAutoencoderTrainer(cfg).run()
+
+    elif args.task == "generate":
+        _generate(args)
+
+    elif args.task == "eval-fvd":
+        from ccvs_tpu.eval.fvd import fvd_from_videos
+        from ccvs_tpu.utils.video_io import read_video
+
+        real = _load_dir(args.real)
+        fake = _load_dir(args.fake)
+        n = min(len(real), len(fake))
+        out = fvd_from_videos(real[:n], fake[:n], i3d_npz=args.i3d_npz, chunk=args.chunk)
+        print(json.dumps(out))
+
+    elif args.task == "eval-metrics":
+        from ccvs_tpu.eval.metrics import video_metrics
+
+        real = _load_dir(args.real, unit=True)
+        fake = _load_dir(args.fake, unit=True)
+        n = min(len(real), len(fake))
+        print(json.dumps(video_metrics(real[:n], fake[:n], vgg_npz=args.vgg_npz)))
+
+
+def _load_dir(path, unit=False):
+    from ccvs_tpu.utils.video_io import read_video
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith((".avi", ".mp4"))
+    )
+    vids = np.stack([read_video(f) for f in files]).astype(np.float32) / 255.0
+    return vids if unit else vids * 2 - 1
+
+
+def _generate(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ccvs_tpu.data import PrefetchLoader, create_dataset
+    from ccvs_tpu.generate import VideoGenerator
+    from ccvs_tpu.models import FrameAutoencoder, StateModel, StftModel, TokenTransformer
+    from ccvs_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = _config(args)
+    ae = FrameAutoencoder(cfg.ae)
+    tr = TokenTransformer(cfg.gpt)
+    params = {"ae": _load_ae_params(args, cfg)}
+    gpt_state = CheckpointManager(args.gpt_ckpt).load("transformer", args.gpt_which)
+    params["gpt"] = gpt_state["params"]
+    state_model = stft_model = None
+    if args.state_ckpt:
+        state_model = StateModel(cfg.state)
+        params["state"] = CheckpointManager(args.state_ckpt).load("state", "best")["params"]
+    if args.stft_ckpt:
+        stft_model = StftModel(cfg.stft)
+        params["stft"] = CheckpointManager(args.stft_ckpt).load("stft", "best")["params"]
+
+    gen = VideoGenerator(cfg, ae, tr, state_model, stft_model)
+    ds = create_dataset(cfg.data, phase="valid", load_vid=True)
+    loader = PrefetchLoader(ds, cfg.data.batch_size_vid, shuffle=True,
+                            num_workers=cfg.data.num_workers, drop_last=True)
+    result_path = os.path.join(cfg.save_path, "results", cfg.name)
+    rng = jax.random.PRNGKey(cfg.seed)
+    it = iter(loader)
+    for i in range(args.n_batches):
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(loader)
+            batch = next(it)
+        vid = jnp.asarray(batch["vid"])
+        rng, sub = jax.random.split(rng)
+        out = gen.generate(params, sub, vid, stft=batch.get("stft"),
+                           vid_lbl=batch.get("vid_lbl"), rec=not args.rec_only)
+        gen.save_batch(result_path, i, cfg.data.batch_size_vid, vid, out,
+                       fps=cfg.data.fps, imagenet_norm=cfg.data.imagenet_norm,
+                       dataset=cfg.data.dataset)
+    print(f"wrote results to {result_path}")
+
+
+if __name__ == "__main__":
+    main()

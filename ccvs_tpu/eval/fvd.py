@@ -1,0 +1,195 @@
+"""Fréchet Video Distance.
+
+Replaces `tools/tf_fvd/fvd.py` (TF1 session + tfhub I3D). The Fréchet
+distance (`tools/utils.py:65-116`) is exact; the video embedder is pluggable:
+
+- :class:`I3D`: the Inflated-3D Inception backbone in flax, loadable from a
+  vendored `i3d-kinetics-400` weight npz (zero-egress environment: export
+  once elsewhere with `ccvs_tpu.port.export_i3d`).
+- :func:`make_fallback_embedder`: a fixed random 3D-conv network — FVD
+  computed with it is self-consistent (valid for tracking relative progress)
+  but not comparable to published I3D-FVD numbers.
+
+Protocol parity: embeddings over 16-frame clips resized to 224x224 in
+[-1, 1], batch 16; mean/std over 256-video chunks or full set
+(`tf_fvd/fvd.py:216-230`).
+"""
+
+import os
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.linen as nn
+
+
+def frechet_distance(act1: np.ndarray, act2: np.ndarray, eps: float = 1e-6) -> float:
+    """Fréchet distance between activation sets (`tools/utils.py:65-116`)."""
+    from scipy import linalg
+
+    mu1, mu2 = act1.mean(0), act2.mean(0)
+    s1 = np.cov(act1, rowvar=False)
+    s2 = np.cov(act2, rowvar=False)
+    diff = mu1 - mu2
+    covmean = linalg.sqrtm(s1.dot(s2))
+    if isinstance(covmean, tuple):  # older scipy returned (sqrtm, errest)
+        covmean = covmean[0]
+    if not np.isfinite(covmean).all():
+        offset = np.eye(s1.shape[0]) * eps
+        covmean = linalg.sqrtm((s1 + offset).dot(s2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(s1) + np.trace(s2) - 2 * np.trace(covmean))
+
+
+# ---------------- I3D (Inflated Inception-v1) ----------------
+
+
+class Unit3D(nn.Module):
+    out_channels: int
+    kernel: tuple = (1, 1, 1)
+    stride: tuple = (1, 1, 1)
+    use_bn: bool = True
+    activation: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(
+            self.out_channels, self.kernel, strides=self.stride, padding="SAME",
+            use_bias=not self.use_bn, name="conv3d",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=True, momentum=0.999, epsilon=1e-3,
+                             name="bn")(x)
+        if self.activation:
+            x = jax.nn.relu(x)
+        return x
+
+
+class InceptionBlock(nn.Module):
+    ch: tuple  # (b0, b1a, b1b, b2a, b2b, b3b)
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = Unit3D(self.ch[0], name="Branch_0")(x)
+        b1 = Unit3D(self.ch[1], name="Branch_1a")(x)
+        b1 = Unit3D(self.ch[2], (3, 3, 3), name="Branch_1b")(b1)
+        b2 = Unit3D(self.ch[3], name="Branch_2a")(x)
+        b2 = Unit3D(self.ch[4], (3, 3, 3), name="Branch_2b")(b2)
+        b3 = nn.max_pool(x, (3, 3, 3), strides=(1, 1, 1), padding="SAME")
+        b3 = Unit3D(self.ch[5], name="Branch_3b")(b3)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class I3D(nn.Module):
+    """Inflated Inception-v1 video backbone producing 1024-d embeddings."""
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T, H, W, 3) in [-1, 1]
+        x = Unit3D(64, (7, 7, 7), (2, 2, 2), name="Conv3d_1a")(x)
+        x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2), padding="SAME")
+        x = Unit3D(64, name="Conv3d_2b")(x)
+        x = Unit3D(192, (3, 3, 3), name="Conv3d_2c")(x)
+        x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2), padding="SAME")
+        x = InceptionBlock((64, 96, 128, 16, 32, 32), name="Mixed_3b")(x)
+        x = InceptionBlock((128, 128, 192, 32, 96, 64), name="Mixed_3c")(x)
+        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding="SAME")
+        x = InceptionBlock((192, 96, 208, 16, 48, 64), name="Mixed_4b")(x)
+        x = InceptionBlock((160, 112, 224, 24, 64, 64), name="Mixed_4c")(x)
+        x = InceptionBlock((128, 128, 256, 24, 64, 64), name="Mixed_4d")(x)
+        x = InceptionBlock((112, 144, 288, 32, 64, 64), name="Mixed_4e")(x)
+        x = InceptionBlock((256, 160, 320, 32, 128, 128), name="Mixed_4f")(x)
+        x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2), padding="SAME")
+        x = InceptionBlock((256, 160, 320, 32, 128, 128), name="Mixed_5b")(x)
+        x = InceptionBlock((384, 192, 384, 48, 128, 128), name="Mixed_5c")(x)
+        return jnp.mean(x, axis=(1, 2, 3))  # (B, 1024)
+
+
+def load_i3d(npz_path: str):
+    """Load vendored I3D variables (params + batch_stats) from npz."""
+    raw = dict(np.load(npz_path, allow_pickle=True))
+    tree = raw["variables"].item() if "variables" in raw else raw
+    return tree
+
+
+def make_i3d_embedder(npz_path: Optional[str] = None, key=None):
+    model = I3D()
+    if npz_path and os.path.exists(npz_path):
+        variables = load_i3d(npz_path)
+    else:
+        key = key or jax.random.PRNGKey(0)
+        variables = model.init(key, jnp.zeros((1, 16, 64, 64, 3)))
+
+    @jax.jit
+    def embed(vids):
+        return model.apply(variables, vids)
+
+    return embed
+
+
+def make_fallback_embedder(key=None, dim=256):
+    """Fixed random 3D-conv embedder: deterministic, discriminative enough to
+    track distribution distance during development."""
+    key = key or jax.random.PRNGKey(0)
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i, c in enumerate((32, 64, 128, dim)):
+                x = nn.Conv(c, (3, 3, 3), strides=(1 if i == 0 else 2,) * 3,
+                            padding="SAME")(x)
+                x = jax.nn.relu(x)
+            return jnp.mean(x, axis=(1, 2, 3))
+
+    net = Net()
+    variables = net.init(key, jnp.zeros((1, 8, 32, 32, 3)))
+
+    @jax.jit
+    def embed(vids):
+        return net.apply(variables, vids)
+
+    return embed
+
+
+def _resize_videos(vids: np.ndarray, size: int = 224) -> np.ndarray:
+    return np.asarray(
+        jax.image.resize(
+            jnp.asarray(vids), (*vids.shape[:2], size, size, vids.shape[-1]), "bilinear"
+        )
+    )
+
+
+def embeddings_from_videos(vids: np.ndarray, embed: Callable, batch: int = 16,
+                           resize: Optional[int] = 224) -> np.ndarray:
+    """(N, T, H, W, 3) in [-1, 1] -> (N, D) (`tf_fvd/fvd.py:63-122`)."""
+    outs = []
+    for i in range(0, len(vids), batch):
+        chunk = vids[i : i + batch].astype(np.float32)
+        if resize and chunk.shape[2] != resize:
+            chunk = _resize_videos(chunk, resize)
+        outs.append(np.asarray(embed(jnp.asarray(chunk))))
+    return np.concatenate(outs)
+
+
+def fvd_from_videos(real: np.ndarray, fake: np.ndarray, embed: Optional[Callable] = None,
+                    i3d_npz: Optional[str] = None, chunk: Optional[int] = None,
+                    resize: Optional[int] = 224) -> dict:
+    """FVD between two video sets; mean/std over ``chunk``-sized groups when
+    requested (`tf_fvd/fvd.py:216-230`)."""
+    if embed is None:
+        embed = make_i3d_embedder(i3d_npz) if i3d_npz else make_fallback_embedder()
+    a = embeddings_from_videos(real, embed, resize=resize)
+    b = embeddings_from_videos(fake, embed, resize=resize)
+    out = {"fvd": frechet_distance(a, b)}
+    if chunk:
+        vals = [
+            frechet_distance(a[i : i + chunk], b[i : i + chunk])
+            for i in range(0, len(a) - chunk + 1, chunk)
+        ]
+        out["fvd_mean"] = float(np.mean(vals))
+        out["fvd_std"] = float(np.std(vals))
+    return out

@@ -1,0 +1,129 @@
+"""Reconstruction metrics: PSNR, SSIM, LPIPS.
+
+Replaces `tools/pytorch_metrics/metrics.py:12-78` (piq PSNR/LPIPS + skimage
+SSIM). PSNR/SSIM are exact re-implementations (SSIM follows Wang et al. with
+the 7x7 uniform window + channel averaging that scikit-image uses by default);
+LPIPS is the standard normalized-VGG-feature distance driven by
+`ccvs_tpu.nn.vgg` (exact once VGG19 weights are vendored).
+"""
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccvs_tpu.nn import vgg as vgg_mod
+
+
+def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
+    """PSNR over [0, data_range] images."""
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10 * np.log10(data_range**2 / mse))
+
+
+def _uniform_filter(x, size):
+    from scipy.ndimage import uniform_filter
+
+    return uniform_filter(x, size=size, mode="reflect")
+
+
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0, win_size: int = 7) -> float:
+    """Mean SSIM, scikit-image default semantics (uniform window, K1=0.01,
+    K2=0.03, per-channel then averaged). a, b: (H, W, C) in [0, data_range]."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+    k1, k2 = 0.01, 0.03
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    nper = win_size**2
+    cov_norm = nper / (nper - 1)
+    vals = []
+    for c in range(a.shape[-1]):
+        ax, bx = a[..., c], b[..., c]
+        ux = _uniform_filter(ax, win_size)
+        uy = _uniform_filter(bx, win_size)
+        uxx = _uniform_filter(ax * ax, win_size)
+        uyy = _uniform_filter(bx * bx, win_size)
+        uxy = _uniform_filter(ax * bx, win_size)
+        vx = cov_norm * (uxx - ux * ux)
+        vy = cov_norm * (uyy - uy * uy)
+        vxy = cov_norm * (uxy - ux * uy)
+        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+        pad = (win_size - 1) // 2
+        vals.append(s[pad:-pad, pad:-pad].mean())
+    return float(np.mean(vals))
+
+
+class LPIPS:
+    """Perceptual distance over unit-normalized VGG features.
+
+    Standard LPIPS formulation with uniform linear weights; exact AlexNet/VGG
+    LPIPS calibration requires vendored weights (`nn/vgg.py` docstring).
+    Inputs in [-1, 1]; small images are upscaled to >=161px like the reference
+    (`tools/pytorch_metrics/metrics.py:115-124`).
+    """
+
+    def __init__(self, vgg_npz: Optional[str] = None, key=None):
+        if vgg_npz and os.path.exists(vgg_npz):
+            self.params = vgg_mod.load_vgg19_npz(vgg_npz)
+        else:
+            self.params = vgg_mod.init_random(key or jax.random.PRNGKey(0))
+        self._fn = jax.jit(self._dist)
+
+    def _dist(self, a, b):
+        fa = vgg_mod.features(self.params, a)
+        fb = vgg_mod.features(self.params, b)
+        total = 0.0
+        for x, y in zip(fa, fb):
+            xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-10)
+            yn = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-10)
+            total = total + jnp.mean(jnp.sum((xn - yn) ** 2, axis=-1), axis=(1, 2))
+        return total
+
+    def __call__(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """a, b: (N, H, W, 3) in [-1, 1] -> (N,) distances."""
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if a.shape[1] < 161:
+            s = int(np.ceil(161 / a.shape[1]))
+            a = a.repeat(s, axis=1).repeat(s, axis=2)
+            b = b.repeat(s, axis=1).repeat(s, axis=2)
+        return np.asarray(self._fn(jnp.asarray(a), jnp.asarray(b)))
+
+
+_default_lpips = None
+
+
+def lpips(a, b, vgg_npz=None):
+    global _default_lpips
+    if _default_lpips is None:
+        _default_lpips = LPIPS(vgg_npz)
+    return _default_lpips(a, b)
+
+
+def video_metrics(real_vids: np.ndarray, fake_vids: np.ndarray,
+                  per_timestep: Optional[int] = None, vgg_npz=None) -> Dict[str, float]:
+    """Batch metrics over (N, T, H, W, 3) videos in [0, 1]
+    (`tools/pytorch_metrics/metrics.py:27-78`)."""
+    n, t = real_vids.shape[:2]
+    ts = [per_timestep] if per_timestep is not None else range(t)
+    psnrs, ssims, lps = [], [], []
+    lp = LPIPS(vgg_npz)
+    for i in range(n):
+        for tt in ts:
+            psnrs.append(psnr(real_vids[i, tt], fake_vids[i, tt]))
+            ssims.append(ssim(real_vids[i, tt], fake_vids[i, tt]))
+        a = real_vids[i][list(ts)] * 2 - 1
+        b = fake_vids[i][list(ts)] * 2 - 1
+        lps.extend(lp(a, b).tolist())
+    return {
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "lpips": float(np.mean(lps)),
+    }

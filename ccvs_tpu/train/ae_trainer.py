@@ -1,0 +1,157 @@
+"""Frame-autoencoder training driver.
+
+Port of `helpers/frame_autoencoder_trainer.py`: alternating G/D steps on
+image batches, video-batch steps every ``vid_step_every`` iterations, lazy R1
+regularization every ``d_reg_every``, EMA accumulation inside the G step, and
+rolling latest / periodic checkpoints.
+"""
+
+import os
+import time
+from itertools import cycle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccvs_tpu.config import Config
+from ccvs_tpu.data import PrefetchLoader, create_dataset
+from ccvs_tpu.models.autoencoder import FrameAutoencoder
+from ccvs_tpu.nn import vgg as vgg_mod
+from ccvs_tpu.nn.discriminators import (
+    FeatureDiscriminator,
+    ImageDiscriminator,
+    VideoDiscriminator,
+)
+from ccvs_tpu.train.ae_losses import AELosses
+from ccvs_tpu.train.steps import make_ae_steps
+from ccvs_tpu.utils.checkpoint import CheckpointManager
+from ccvs_tpu.utils.logging import Logger
+
+
+class FrameAutoencoderTrainer:
+    def __init__(self, cfg: Config, vgg_npz: str = None, dtype=jnp.bfloat16):
+        self.cfg = cfg
+        acfg = cfg.ae
+        self.ae = FrameAutoencoder(acfg, dtype=dtype)
+        self.di = ImageDiscriminator(acfg, dtype=dtype) if acfg.use_di else None
+        self.dv = VideoDiscriminator(acfg, vid_len=acfg.vid_len, dtype=dtype) if acfg.use_dv else None
+        self.df = FeatureDiscriminator(acfg, dtype=dtype) if acfg.use_df else None
+        self.losses = AELosses(acfg, self.ae, di=self.di, dv=self.dv, df=self.df)
+        key = jax.random.PRNGKey(cfg.seed)
+        if acfg.use_vgg_img or acfg.use_vgg_vid:
+            if vgg_npz and os.path.exists(vgg_npz):
+                self.vgg_params = vgg_mod.load_vgg19_npz(vgg_npz)
+            else:
+                self.vgg_params = vgg_mod.init_random(key)
+        else:
+            self.vgg_params = None
+
+        steps = make_ae_steps(self.losses, self.vgg_params)
+        self.init_state, self._g, self._d, self._r1 = steps
+        self.g_step = jax.jit(self._g, static_argnames=("mode",))
+        self.d_step = jax.jit(self._d, static_argnames=("mode",))
+        self.r1_step = jax.jit(self._r1, static_argnames=("mode",))
+
+    def init_params(self, key):
+        acfg = self.cfg.ae
+        h = acfg.max_dim
+        w = int(acfg.max_dim * acfg.aspect_ratio)
+        gen = jax.jit(self.ae.init)(key)
+        disc = {}
+        if self.di is not None:
+            disc["di"] = jax.jit(lambda k: self.di.init(k, jnp.zeros((2, h, w, 3)))["params"])(key)
+        if self.dv is not None:
+            disc["dv"] = jax.jit(
+                lambda k: self.dv.init(k, jnp.zeros((2, acfg.vid_len, h, w, 3)))["params"]
+            )(key)
+        if self.df is not None:
+            disc["df"] = jax.jit(
+                lambda k: self.df.init(k, jnp.zeros((2, *acfg.z_shape, acfg.z_size)))["params"]
+            )(key)
+        return gen, disc
+
+    def make_loaders(self):
+        cfg = self.cfg
+        group = cfg.data.n_consecutive_img + (1 if cfg.data.load_elastic_view else 0)
+        img_ds = create_dataset(cfg.data, phase="train", load_vid=False)
+        img_loader = PrefetchLoader(
+            img_ds, max(1, cfg.data.batch_size_img // group),
+            num_workers=cfg.data.num_workers, seed=cfg.seed,
+        )
+        vid_loader = None
+        if cfg.data.is_seq:
+            vid_ds = create_dataset(cfg.data, phase="train", load_vid=True)
+            vid_loader = PrefetchLoader(
+                vid_ds, cfg.data.batch_size_vid, num_workers=cfg.data.num_workers,
+                seed=cfg.seed + 1,
+            )
+        return img_loader, vid_loader
+
+    def run(self, n_iter=None, resume=False):
+        cfg = self.cfg
+        acfg = cfg.ae
+        n_iter = n_iter or cfg.n_iter
+        ckpt_path = os.path.join(cfg.save_path, "checkpoints", cfg.name)
+        log_path = os.path.join(cfg.save_path, "logs", cfg.name)
+        ckpt = CheckpointManager(ckpt_path)
+        logger = Logger(log_path, imagenet_norm=cfg.data.imagenet_norm)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        gen, disc = self.init_params(key)
+        state = self.init_state(key, gen, disc)
+        start = 0
+        if resume:
+            state = ckpt.load("qvid", "latest", target=state)
+            start = int(state.step)
+
+        img_loader, vid_loader = self.make_loaders()
+        img_iter = iter(cycle_loader(img_loader))
+        vid_iter = iter(cycle_loader(vid_loader)) if vid_loader else None
+
+        t0 = time.time()
+        for it in range(start, n_iter):
+            rng = jax.random.fold_in(key, it)
+            batch = to_device(next(img_iter))
+            state, gm, fake = self.g_step(state, batch, rng, mode="img")
+            state, dm = self.d_step(state, batch, fake, rng, mode="img")
+            if acfg.d_reg_every and it % acfg.d_reg_every == 0:
+                state, rm = self.r1_step(state, batch, mode="img")
+                gm.update(rm)
+
+            if vid_iter is not None and it % acfg.vid_step_every == 0:
+                vbatch = to_device(next(vid_iter))
+                state, gmv, fakev = self.g_step(state, vbatch, rng, mode="vid")
+                state, dmv = self.d_step(state, vbatch, fakev, rng, mode="vid")
+                if acfg.d_reg_every and it % acfg.d_reg_every == 0:
+                    state, rmv = self.r1_step(state, vbatch, mode="vid")
+                    gmv.update(rmv)
+                gm.update(gmv)
+                dm.update(dmv)
+
+            state = state.replace(step=jnp.asarray(it + 1, jnp.int32))
+            logger.log_scalars({**gm, **dm}, it, prefix="qvid_generator/")
+            if cfg.log_freq and it % cfg.log_freq == 0:
+                logger.log_img("qvid_generator/fake_img", np.asarray(fake["img"][:16]), 4, it,
+                               normalize=True)
+                logger.log_img("qvid_generator/real_img", np.asarray(batch["img"][:16]), 4, it,
+                               normalize=True)
+                el = time.time() - t0
+                print(f"iter {it}: g={float(gm['g_loss']):.4f} d={float(dm['d_loss']):.4f} "
+                      f"({el / max(1, it - start + 1):.2f}s/it)")
+            if it % cfg.save_latest_freq == 0 and it > start:
+                ckpt.save("qvid", it, state, latest=True)
+            if cfg.save_freq > 0 and it % cfg.save_freq == 0 and it > start:
+                ckpt.save("qvid", it, state)
+        ckpt.save("qvid", n_iter, state, latest=True)
+        logger.close()
+        return state
+
+
+def cycle_loader(loader):
+    while True:
+        yield from loader
+
+
+def to_device(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()}

@@ -57,7 +57,9 @@ def make_ae_steps(losses: AELosses, vgg_params, aug_fn=None):
         updates, new_opt = opt_g.update(grads, state.opt_g, state.gen)
         gen = optax.apply_updates(state.gen, updates)
         ema = ema_update(state.ema, gen, cfg.ema_decay) if cfg.use_ema else state.ema
-        state = state.replace(gen=gen, opt_g=new_opt, ema=ema, step=state.step + 1)
+        # `step` counts global iterations and is advanced by the trainer (one
+        # iteration may contain several G steps: img + vid).
+        state = state.replace(gen=gen, opt_g=new_opt, ema=ema)
         metrics["g_loss"] = loss
         return state, metrics, fake_data
 

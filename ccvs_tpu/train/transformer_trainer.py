@@ -1,0 +1,120 @@
+"""Latent-transformer training driver.
+
+Port of `helpers/transformer_trainer.py`: freezes the autoencoder
+(+state/stft models), encodes each video batch to tokens, assembles the
+conditioning (state / stft / p2p / class / deblurring), and runs AdamW steps
+with warmup(+cosine) LR on the GPT.
+"""
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+from ccvs_tpu.config import Config
+from ccvs_tpu.data import PrefetchLoader, create_dataset
+from ccvs_tpu.models.autoencoder import FrameAutoencoder
+from ccvs_tpu.models.state_model import StateModel
+from ccvs_tpu.models.stft_model import StftModel
+from ccvs_tpu.models.transformer import TokenTransformer
+from ccvs_tpu.train.ae_trainer import cycle_loader, to_device
+from ccvs_tpu.train.steps import make_transformer_step
+from ccvs_tpu.utils.checkpoint import CheckpointManager
+from ccvs_tpu.utils.logging import Logger
+
+
+def blur_video(vid: np.ndarray, sigma: float) -> np.ndarray:
+    """Gaussian blur per frame (`helpers/generator.py:381-390`)."""
+    out = np.empty_like(vid)
+    for i in range(vid.shape[0]):
+        for t in range(vid.shape[1]):
+            for c in range(3):
+                out[i, t, :, :, c] = gaussian_filter(vid[i, t, :, :, c], sigma, truncate=1.5)
+    return out
+
+
+class TransformerTrainer:
+    def __init__(self, cfg: Config, ae_params, state_params=None, stft_params=None,
+                 dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.ae = FrameAutoencoder(cfg.ae, dtype=dtype)
+        self.ae_params = ae_params
+        self.transformer = TokenTransformer(cfg.gpt, dtype=dtype)
+        self.state_model = StateModel(cfg.state) if cfg.gpt.state and not cfg.gpt.stft else None
+        self.state_params = state_params
+        self.stft_model = StftModel(cfg.stft) if cfg.gpt.stft else None
+        self.stft_params = stft_params
+        self.init_state, self.step = make_transformer_step(
+            self.transformer, cfg.gpt, cfg.n_iter
+        )
+        self._encode = jax.jit(self.ae.encode)
+
+    def encode_batch(self, batch) -> dict:
+        """Video batch -> token batch with conditioning
+        (`helpers/transformer_trainer.py:56-81`)."""
+        cfg = self.cfg
+        gcfg = cfg.gpt
+        vid = batch["vid"]
+        b = vid.shape[0]
+        enc = self._encode(self.ae_params, vid)
+        code = enc["code"].reshape(b, -1)
+        out = {"code": code}
+        if self.state_model is not None:
+            z = self.ae.embed_code(self.ae_params, enc["code"])
+            out["state_code"] = self.state_model.encode(self.state_params, z=z)
+        if self.stft_model is not None and "stft" in batch:
+            out["state_code"] = self.stft_model.encode(self.stft_params, batch["stft"])
+        if gcfg.p2p:
+            out["cond_code"] = code[:, -gcfg.z_chunk :]
+            out["code"] = code[:, : -gcfg.z_chunk]
+            out["delta"] = batch["delta_length"]
+        if gcfg.cat:
+            out["vid_lbl"] = batch.get(
+                "vid_lbl",
+                jnp.zeros((b,), jnp.int32),
+            )
+        if gcfg.deblurring:
+            blurred = blur_video(np.asarray(vid), gcfg.blur_sigma)
+            benc = self._encode(self.ae_params, jnp.asarray(blurred))
+            out["state_code"] = benc["code"].reshape(b, -1)
+        return out
+
+    def run(self, n_iter=None, resume=False):
+        cfg = self.cfg
+        n_iter = n_iter or cfg.n_iter
+        ckpt = CheckpointManager(os.path.join(cfg.save_path, "checkpoints", cfg.name))
+        logger = Logger(os.path.join(cfg.save_path, "logs", cfg.name),
+                        imagenet_norm=cfg.data.imagenet_norm)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        params = jax.jit(lambda k: self.transformer.init(k, batch=1))(key)
+        tstate = self.init_state(params)
+        start = 0
+        if resume:
+            tstate = ckpt.load("transformer", "latest", target=tstate)
+            start = int(tstate.step)
+
+        ds = create_dataset(cfg.data, phase="train", load_vid=True)
+        loader = PrefetchLoader(ds, cfg.data.batch_size_vid,
+                                num_workers=cfg.data.num_workers, seed=cfg.seed)
+        it_data = iter(cycle_loader(loader))
+
+        t0 = time.time()
+        for it in range(start, n_iter):
+            batch = to_device(next(it_data))
+            tokens = self.encode_batch(batch)
+            tstate, metrics = self.step(tstate, tokens)
+            logger.log_scalars(metrics, it, prefix="transformer/")
+            if cfg.log_freq and it % cfg.log_freq == 0:
+                el = time.time() - t0
+                print(f"iter {it}: nll={float(metrics['nll']):.4f} "
+                      f"({el / max(1, it - start + 1):.2f}s/it)")
+            if it % cfg.save_latest_freq == 0 and it > start:
+                ckpt.save("transformer", it, tstate, latest=True)
+        ckpt.save("transformer", n_iter, tstate, latest=True)
+        logger.close()
+        return tstate
