@@ -50,18 +50,19 @@ def main():
 
     def run(rng):
         out = gen.generate(params, rng, vid, rec=False, n_ctx_frames=N_CTX)
-        return out["fake"]
+        # Sync via device->host transfer of a tiny slice: on this backend
+        # `block_until_ready` returns before remote execution finishes, so a
+        # transfer is the only reliable completion barrier.
+        return np.asarray(out["fake"][:, -1, :2, :2, 0])
 
     # compile + warmup
-    fake = run(jax.random.PRNGKey(1))
-    jax.block_until_ready(fake)
-    fake = run(jax.random.PRNGKey(2))
-    jax.block_until_ready(fake)
+    run(jax.random.PRNGKey(1))
+    run(jax.random.PRNGKey(2))
 
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
-        jax.block_until_ready(run(jax.random.PRNGKey(3 + i)))
+        run(jax.random.PRNGKey(3 + i))
     dt = (time.perf_counter() - t0) / iters
 
     frames = BATCH * (VID_LEN - N_CTX)  # synthesized frames per run

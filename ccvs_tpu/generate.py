@@ -121,6 +121,60 @@ class VideoGenerator:
             )
         return out
 
+    def generate_step_by_step(self, params, rng, real_vid, n_ctx_frames=None):
+        """Interleave transformer chunks with frame decode + code correction.
+
+        Port of the `--step_by_step` path (`helpers/generator.py:132-159` +
+        `QVidModel.vid_step_decode`, `quantized_video_model.py:920-949`):
+        after decoding each predicted frame, the frame is re-encoded and its
+        *actual* tokens replace the predicted chunk, so the transformer always
+        conditions on codes consistent with the synthesized pixels.
+        """
+        cfg = self.cfg
+        gcfg, acfg = cfg.gpt, cfg.ae
+        b, t = real_vid.shape[:2]
+        size = acfg.tokens_per_frame
+        m = acfg.skip_memory
+        if n_ctx_frames is None:
+            n_ctx_frames = gcfg.cond_len // size
+
+        enc = self.ae.encode(params["ae"], real_vid[:, :n_ctx_frames])
+        code = enc["code"].reshape(b, -1)
+        # context FIFO seeded from real context frames
+        fifo = self.ae._zero_inters(b, m)
+        take = min(n_ctx_frames, m)
+        for r in range(len(fifo)):
+            src = enc["inter"][r][:, n_ctx_frames - take:].astype(fifo[r].dtype)
+            fifo[r] = jax.lax.dynamic_update_slice(
+                fifo[r], src, (0, m - take) + (0,) * (fifo[r].ndim - 2)
+            )
+
+        frames = [real_vid[:, i] for i in range(n_ctx_frames)]
+        curr = n_ctx_frames
+        for _ in range(t - n_ctx_frames):
+            # free a chunk if capacity is near (`generator.py:147-148`)
+            if code.shape[1] > gcfg.z_len - gcfg.z_chunk:
+                code = code[:, -(gcfg.z_len - gcfg.z_chunk):]
+            rng, sub = jax.random.split(rng)
+            gen = self.transformer.generate(
+                params["gpt"], sub, code, total_len=code.shape[1] + gcfg.z_chunk
+            )
+            chunk = gen["code"][:, -size:]
+            # decode one frame against the FIFO
+            z_t = self.ae.embed_code(params["ae"], chunk)
+            mask = self.ae.fifo_mask(b, jnp.asarray(curr, jnp.int32))
+            frame, _ = self.ae.decode_frame(params["ae"], z_t, fifo, mask)
+            # re-encode: fresh inters + corrected codes
+            new_enc = self.ae.encode(params["ae"], frame)
+            fifo = self.ae.fifo_push(
+                fifo, new_enc["inter"], jnp.asarray(curr, jnp.int32),
+                acfg.keep_first, acfg.n_first,
+            )
+            code = jnp.concatenate([gen["code"][:, : -size], new_enc["code"].reshape(b, -1)], axis=1)
+            frames.append(frame)
+            curr += 1
+        return {"fake": jnp.stack(frames, axis=1)}
+
     def save_batch(self, result_path, global_iter, batch_size, real_vid, out,
                    fps=4, imagenet_norm=False, dataset="bairhd"):
         """Write real/fake/rec videos (`helpers/generator.py:199-230`)."""

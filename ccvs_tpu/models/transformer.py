@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ccvs_tpu.config import TransformerConfig
-from ccvs_tpu.nn.gpt import GPT, KIND_FRAME, KIND_STATE, Schedule, build_schedule
+from ccvs_tpu.nn.gpt import GPT, KIND_FRAME, KIND_STATE, Schedule, build_schedule, decode_step_fn
 
 
 class TokenTransformer:
@@ -199,10 +199,17 @@ class TokenTransformer:
         if start >= L:
             return code, state_code
 
-        merged = self._fill_jit(
-            params, rng, merged, start, jnp.asarray(covered), kind, s_idx, t_idx,
-            cond_code, delta, lbl,
-        )
+        if cfg.beam_size is not None and cfg.beam_size > 1:
+            assert cfg.state_size == 0, "beam search with state tokens unsupported (as in reference)"
+            merged = self._fill_beam_jit(
+                params, rng, merged, start, jnp.asarray(covered), kind, s_idx, t_idx,
+                cond_code, delta, lbl,
+            )
+        else:
+            merged = self._fill_jit(
+                params, rng, merged, start, jnp.asarray(covered), kind, s_idx, t_idx,
+                cond_code, delta, lbl,
+            )
 
         out_code = jnp.take(merged, jnp.asarray(sched.frame_pos[sched.frame_pos < L]), axis=1)
         out_state = None
@@ -295,8 +302,8 @@ class TokenTransformer:
                 {"params": params}, tok, kind[j], s_idx[j], t_idx[j],
                 method=GPT.embed_one,
             )[:, None]
-            new_logits, cache = model.apply(
-                {"params": params}, emb1, prefix_len + j, cache, method=GPT.decode_step
+            new_logits, cache = decode_step_fn(
+                cfg, params, emb1, prefix_len + j, cache, dtype=model.dtype
             )
             return (merged, cache, new_logits, rng), None
 
@@ -304,6 +311,111 @@ class TokenTransformer:
             step, (merged, cache, logits0, rng), jnp.arange(start, L)
         )
         return merged
+
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _fill_beam_jit(self, params, rng, merged, start, given, kind, s_idx, t_idx,
+                       cond_code, delta, lbl):
+        """Beam-search fill (`transformer_model.py:358-391`).
+
+        Hypotheses are folded into the batch axis (B*beam). With sampling
+        (the reference default), the first generated position draws ``beam``
+        distinct tokens (Gumbel top-k = sampling without replacement), later
+        positions sample one token per hypothesis and accumulate log-probs;
+        the best hypothesis per batch element wins at the end. With
+        ``no_sample``, each step expands beam^2 candidates, prunes to the top
+        beam by cumulative log-prob, and reorders the KV cache accordingly.
+        """
+        cfg = self.cfg
+        model = self.model
+        beam = cfg.beam_size
+        b, L = merged.shape
+
+        prefix_len = (cond_code.shape[1] if cond_code is not None else 0) + (
+            1 if cfg.use_start_token else 0
+        ) + (1 if (cfg.cat and lbl is not None) else 0)
+        max_len = prefix_len + L
+        bb = b * beam
+
+        rep = lambda x: jnp.repeat(x, beam, axis=0) if x is not None else None
+        merged_b = rep(merged)
+        cache = model.apply({"params": params}, bb, max_len, method=GPT.init_cache)
+
+        body_emb = model.apply(
+            {"params": params}, merged_b, kind, s_idx, t_idx, method=GPT.embed_one
+        )
+        prefix_emb = model.apply(
+            {"params": params}, bb, rep(cond_code), rep(delta), rep(lbl),
+            method=GPT._prefix_emb,
+        )
+        emb = body_emb if prefix_emb is None else jnp.concatenate([prefix_emb, body_emb], axis=1)
+        logits_all, cache = model.apply({"params": params}, emb, cache, method=GPT.prefill)
+        logits0 = jax.lax.dynamic_index_in_dim(
+            logits_all, prefix_len + start - 1, axis=1, keepdims=False
+        )  # (bb, V)
+
+        def logprobs(logits):
+            lg = logits.astype(jnp.float32)[:, : cfg.z_num] / cfg.temperature
+            if cfg.top_k is not None:
+                vals, _ = jax.lax.top_k(lg, cfg.top_k)
+                lg = jnp.where(lg < vals[:, -1:], -jnp.inf, lg)
+            return jax.nn.log_softmax(lg, axis=-1)
+
+        # first generated position: beam distinct tokens per batch element
+        rng, sub = jax.random.split(rng)
+        lp0 = logprobs(logits0)[::beam]  # (b, V) — beams identical after prefill
+        if cfg.sample and not getattr(cfg, "no_sample", False):
+            g = -jnp.log(-jnp.log(jax.random.uniform(sub, lp0.shape) + 1e-20) + 1e-20)
+            _, tok0 = jax.lax.top_k(lp0 + g, beam)  # sampling w/o replacement
+        else:
+            _, tok0 = jax.lax.top_k(lp0, beam)
+        tok0 = tok0.reshape(bb)
+        log_p = jnp.take_along_axis(lp0, tok0.reshape(b, beam), axis=1).reshape(bb)
+
+        merged_b = merged_b.at[:, start].set(tok0)
+        emb1 = model.apply(
+            {"params": params}, tok0, kind[start], s_idx[start], t_idx[start],
+            method=GPT.embed_one,
+        )[:, None]
+        logits, cache = decode_step_fn(
+            cfg, params, emb1, prefix_len + start, cache, dtype=model.dtype
+        )
+
+        def step(carry, j):
+            merged_b, cache, logits, log_p, rng = carry
+            rng, sub = jax.random.split(rng)
+            lp = logprobs(logits)  # (bb, V)
+            if cfg.sample:
+                tok = jax.random.categorical(sub, lp, axis=-1)
+                ilp = jnp.take_along_axis(lp, tok[:, None], axis=1)[:, 0]
+                new_log_p = log_p + ilp
+            else:
+                # expand beam^2, prune to beam, reorder cache
+                vals, cand = jax.lax.top_k(lp, beam)  # (bb, beam)
+                total = (log_p[:, None] + vals).reshape(b, beam * beam)
+                new_log_p, keep = jax.lax.top_k(total, beam)  # (b, beam)
+                parent = keep // beam  # hypothesis index within batch elem
+                tok = jnp.take_along_axis(
+                    cand.reshape(b, beam * beam), keep, axis=1
+                ).reshape(bb)
+                gather_idx = (jnp.arange(b)[:, None] * beam + parent).reshape(bb)
+                merged_b = merged_b[gather_idx]
+                cache = jax.tree_util.tree_map(lambda c: c[:, gather_idx], cache)
+                new_log_p = new_log_p.reshape(bb)
+            merged_b = jax.lax.dynamic_update_index_in_dim(merged_b, tok, j, axis=1)
+            emb1 = model.apply(
+                {"params": params}, tok, kind[j], s_idx[j], t_idx[j], method=GPT.embed_one
+            )[:, None]
+            new_logits, cache = decode_step_fn(
+                cfg, params, emb1, prefix_len + j, cache, dtype=model.dtype
+            )
+            return (merged_b, cache, new_logits, new_log_p, rng), None
+
+        (merged_b, _, _, log_p, _), _ = jax.lax.scan(
+            step, (merged_b, cache, logits, log_p, rng), jnp.arange(start + 1, L)
+        )
+        best = jnp.argmax(log_p.reshape(b, beam), axis=1)
+        return merged_b.reshape(b, beam, L)[jnp.arange(b), best]
 
 
 def _ce(logits, targets):

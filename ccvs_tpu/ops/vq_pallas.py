@@ -1,0 +1,97 @@
+"""Pallas TPU kernel: fused VQ nearest-codebook search.
+
+The jnp path (`ccvs_tpu.ops.vq.vq_lookup`) materializes the full ``N x K``
+distance matrix in HBM before the argmin (134 MB for a Kinetics-sized
+2048x16384 batch). This kernel streams codebook tiles through VMEM, does the
+``z @ E^T`` partial products on the MXU, and keeps only the running
+(min, argmin) per row in VMEM scratch — HBM traffic drops to the inputs plus
+an ``N``-vector of indices.
+
+Grid: (N/TN, K/TK), K minor; scratch persists across the K sweep.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 256
+TILE_K = 512
+
+
+def _vq_kernel(z_ref, cb_ref, idx_ref, minval, argmin):
+    j = pl.program_id(1)
+    nk = pl.num_programs(1)
+    tk = cb_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        minval[:] = jnp.full_like(minval[:], jnp.inf)
+        argmin[:] = jnp.zeros_like(argmin[:])
+
+    z = z_ref[:].astype(jnp.float32)
+    cb = cb_ref[:].astype(jnp.float32)
+    # ||z - e||^2 = ||z||^2 + ||e||^2 - 2 z.e ; drop the row-constant ||z||^2
+    e2 = jnp.sum(cb * cb, axis=1)[None, :]  # (1, TK)
+    prod = jax.lax.dot_general(
+        z, cb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TN, TK)
+    d = e2 - 2.0 * prod
+
+    tile_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
+    tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None] + j * tk
+
+    better = tile_min < minval[:]
+    argmin[:] = jnp.where(better, tile_arg, argmin[:])
+    minval[:] = jnp.where(better, tile_min, minval[:])
+
+    @pl.when(j == nk - 1)
+    def _():
+        idx_ref[:] = argmin[:]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def vq_indices_pallas(z, codebook, interpret=False):
+    """Nearest-code indices. z: (N, D); codebook: (K, D) -> (N,) int32.
+
+    N must be a multiple of 8 (padded internally) and K of TILE_K (codebook
+    sizes in the shipped configs are powers of two >= 1024).
+    """
+    n, d = z.shape
+    k = codebook.shape[0]
+    tn = min(TILE_N, max(8, n))
+    tk = min(TILE_K, k)
+    n_pad = -n % tn
+    if n_pad:
+        z = jnp.pad(z, ((0, n_pad), (0, 0)))
+    npad = z.shape[0]
+    assert k % tk == 0, f"codebook size {k} not divisible by tile {tk}"
+
+    grid = (npad // tn, k // tk)
+    idx = pl.pallas_call(
+        _vq_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((tk, d), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((tn, 1), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((tn, 1), jnp.float32),
+            pltpu.VMEM((tn, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(z, codebook)
+    return idx[:n, 0]
+
+
+def vq_lookup_pallas(z, codebook, interpret=False):
+    """Drop-in fused replacement for `ccvs_tpu.ops.vq.vq_lookup`."""
+    lead = z.shape[:-1]
+    zf = z.reshape(-1, z.shape[-1])
+    idx = vq_indices_pallas(zf, codebook, interpret=interpret)
+    z_q = jnp.take(codebook, idx, axis=0).astype(z.dtype)
+    return z_q.reshape(z.shape), idx.reshape(lead)

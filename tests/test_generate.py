@@ -119,3 +119,33 @@ def test_video_io_roundtrip(rng):
     back = video_io.read_video(path)
     assert back.shape == frames.shape
     assert np.abs(back.astype(int) - frames.astype(int)).mean() < 3
+
+
+def test_generate_beam_search(rng):
+    cfg = TransformerConfig(
+        z_num=32, z_len=64, z_chunk=16, num_blocks=4, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        top_k=5, beam_size=3,
+    )
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    params = tr.init(jax.random.PRNGKey(0), batch=2)
+    code = jnp.asarray(rng.randint(0, 32, (2, 16)))
+    gen = tr.generate(params, jax.random.PRNGKey(1), code, total_len=64)
+    assert gen["code"].shape == (2, 64)
+    np.testing.assert_array_equal(np.asarray(gen["code"][:, :16]), np.asarray(code))
+
+    # greedy (no-sample) beam with cache reordering
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, sample=False)
+    tr2 = TokenTransformer(cfg2, dtype=jnp.float32)
+    gen2 = tr2.generate(params, jax.random.PRNGKey(1), code, total_len=64)
+    assert gen2["code"].shape == (2, 64)
+
+
+def test_generate_step_by_step(rng):
+    ae, tr, params = _models()
+    vid = jnp.asarray(rng.randn(1, 4, 8, 8, 3).astype(np.float32)) * 0.1
+    gen = VideoGenerator(Config(ae=AE, gpt=GPTC), ae, tr)
+    out = gen.generate_step_by_step(params, jax.random.PRNGKey(1), vid)
+    assert out["fake"].shape == (1, 4, 8, 8, 3)
+    assert np.isfinite(np.asarray(out["fake"])).all()

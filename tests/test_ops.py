@@ -211,3 +211,15 @@ def test_vq_embed_mult(rng):
     idx = jnp.asarray(rng.randint(0, 8, size=(2, 6)))
     z = vq_embed(idx, cb, mult=2)
     assert z.shape == (2, 3, 8)
+
+
+def test_vq_pallas_matches_jnp(rng):
+    """Fused Pallas VQ (interpret mode on CPU) must match the jnp path."""
+    from ccvs_tpu.ops.vq_pallas import vq_lookup_pallas
+
+    z = rng.randn(100, 64).astype(np.float32)
+    cb = rng.randn(1024, 64).astype(np.float32)
+    zq_ref, idx_ref = vq_lookup(jnp.asarray(z), jnp.asarray(cb))
+    zq, idx = vq_lookup_pallas(jnp.asarray(z), jnp.asarray(cb), interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(zq), np.asarray(zq_ref), rtol=1e-6)

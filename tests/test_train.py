@@ -150,3 +150,43 @@ def test_synthetic_dataset_pipeline():
     ds_vid = create_dataset(dcfg, phase="valid", load_vid=True)
     item = ds_vid[0]
     assert item["vid"].shape == (4, 16, 16, 3)
+
+
+def test_native_loader():
+    """C++ loader: JPEG batch decode + AVI demux vs PIL oracle."""
+    import os
+    import tempfile
+    from PIL import Image as PILImage
+    from ccvs_tpu.data import native
+    from ccvs_tpu.utils import video_io
+
+    if not native.available():
+        import pytest as _pytest
+        _pytest.skip("native loader not built")
+
+    tmp = tempfile.mkdtemp()
+    ramp = np.linspace(0, 255, 48, dtype=np.uint8)
+    img = np.tile(ramp[None, :, None], (48, 1, 3))
+    paths = []
+    for i in range(4):
+        p = os.path.join(tmp, f"f{i}.jpg")
+        PILImage.fromarray(np.clip(img.astype(int) + i * 5, 0, 255).astype(np.uint8)).save(p, quality=95)
+        paths.append(p)
+
+    out = native.decode_jpeg_batch(paths, 48, 48, n_threads=2)
+    assert out is not None and out.shape == (4, 48, 48, 3)
+    pil = np.asarray(PILImage.open(paths[0]).convert("RGB"))
+    assert np.abs(out[0].astype(int) - pil.astype(int)).mean() < 2
+
+    # resized decode
+    out32 = native.decode_jpeg_batch(paths, 32, 32, n_threads=2)
+    assert out32.shape == (4, 32, 32, 3)
+
+    # AVI demux
+    frames = np.stack([np.clip(img.astype(int) + i * 10, 0, 255).astype(np.uint8) for i in range(5)])
+    avi = os.path.join(tmp, "v.avi")
+    video_io.write_video(avi, frames, fps=4)
+    assert native.avi_frame_count(avi) == 5
+    got = native.avi_decode_frames(avi, [0, 2, 4], 48, 48)
+    assert got.shape == (3, 48, 48, 3)
+    assert np.abs(got[1].astype(int) - frames[2].astype(int)).mean() < 3
