@@ -1,0 +1,199 @@
+"""Offline dataset preparation.
+
+Ports of the reference's one-shot prep scripts (`data/scripts/`):
+
+- :func:`preprocess_bairhd`  <- `preprocess_bairhd.py`: BAIR "softmotion"
+  HD trajectories -> cropped / resized / v-flipped per-video frame folders.
+- :func:`preprocess_videos`  <- `preprocess_kinetics.py`: resize, square-crop
+  and trim raw videos into our MJPEG-AVI container (pluggable decoder — this
+  image ships no mp4 codec; pass a decode_fn backed by ffmpeg/PyAV offline).
+- :func:`compute_folds` / :func:`compute_metadata` <-
+  `compute_folds_kinetics.py` / `compute_metadata_kinetics.py`: fold splits +
+  precomputed clip indices (the VideoClips-metadata equivalent).
+- :func:`annotate_states` <- `annotate_bairhd.py`: writes the
+  ``annotated_frames`` naming scheme (``{id}_{x}_{y}.png``) from a state file
+  (the reference's interactive clicker is replaced by a batch tool; states
+  may come from any annotation UI).
+
+Usage: ``python -m ccvs_tpu.data.prep bairhd --data-root datasets/bairhd``.
+"""
+
+import argparse
+import os
+import pickle
+import random
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+from glob import glob
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from ccvs_tpu.data.clips import build_clip_index, save_index
+from ccvs_tpu.utils import video_io
+
+
+def _crop_resize_flip(im: Image.Image, dim: int) -> np.ndarray:
+    """BAIR HD frame op (`preprocess_bairhd.py:29-34`): crop x[157:967],
+    resize to dim^2, vertical flip."""
+    arr = np.asarray(im.convert("RGB"))
+    arr = arr[:, 157:967]
+    im = Image.fromarray(arr).resize((dim, dim), Image.BILINEAR)
+    return np.asarray(im.transpose(Image.FLIP_TOP_BOTTOM))
+
+
+def preprocess_bairhd(data_root: str, dim: int = 256, num_workers: int = 8,
+                      train_range=(0, 43264), test_range=(44120, 44376)):
+    data_dir = os.path.join(data_root, "softmotion_0511")
+
+    def process(k, out_root):
+        group = k // 1000
+        frames_dir = os.path.join(data_dir, f"aux1/traj_group{group}/traj{k}/images")
+        out_dir = os.path.join(out_root, f"{k:05d}")
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(30):
+            paths = glob(os.path.join(frames_dir, f"aux1_full_cropped_im{i}_*.jpg"))
+            if len(paths) != 1:
+                continue
+            frame = _crop_resize_flip(Image.open(paths[0]), dim)
+            Image.fromarray(frame).save(os.path.join(out_dir, f"{i:02d}.png"))
+
+    for phase, (k0, k1) in (("train", train_range), ("test", test_range)):
+        out_root = os.path.join(data_root, f"original_frames_{dim}", phase)
+        os.makedirs(out_root, exist_ok=True)
+        with ThreadPoolExecutor(num_workers) as pool:
+            list(pool.map(lambda k: process(k, out_root), range(k0, k1)))
+        print(f"bairhd {phase}: {k1 - k0} trajectories -> {out_root}")
+
+
+def preprocess_videos(src_folder: str, out_folder: str, decode_fn: Callable,
+                      resize: Optional[int] = 256, square_crop: bool = True,
+                      max_frames: Optional[int] = 300, fps: int = 25,
+                      num_workers: int = 8, quality: int = 92):
+    """Raw videos -> resized/cropped MJPEG-AVI (`preprocess_kinetics.py:20-50`).
+
+    ``decode_fn(path) -> (T, H, W, 3) uint8`` supplies the source decoder
+    (e.g. PyAV/ffmpeg offline, or `ccvs_tpu.utils.video_io.read_video` for
+    already-MJPEG sources).
+    """
+    os.makedirs(out_folder, exist_ok=True)
+    files = []
+    for r, _, fn in os.walk(src_folder):
+        files += [os.path.join(r, f) for f in fn if f.lower().endswith((".mp4", ".avi", ".webm"))]
+
+    def process(path):
+        rel = os.path.relpath(path, src_folder)
+        out = os.path.join(out_folder, os.path.splitext(rel)[0] + ".avi")
+        if os.path.exists(out):
+            return
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        vid = decode_fn(path)
+        if max_frames:
+            vid = vid[:max_frames]
+        frames = []
+        for f in vid:
+            im = Image.fromarray(f)
+            if resize:
+                w, h = im.size
+                s = resize / min(w, h)
+                im = im.resize((round(w * s), round(h * s)), Image.BILINEAR)
+            if square_crop:
+                w, h = im.size
+                s = min(w, h)
+                l, t = (w - s) // 2, (h - s) // 2
+                im = im.crop((l, t, l + s, t + s))
+            frames.append(np.asarray(im))
+        video_io.write_video(out, np.stack(frames), fps=fps, quality=quality)
+
+    with ThreadPoolExecutor(num_workers) as pool:
+        list(pool.map(process, files))
+    print(f"preprocessed {len(files)} videos -> {out_folder}")
+
+
+def compute_folds(video_paths: Sequence[str], out_dir: str, num_folds: int,
+                  seed: int = 0):
+    """Split a video list into folds (`compute_folds_kinetics.py`)."""
+    paths = list(video_paths)
+    random.Random(seed).shuffle(paths)
+    os.makedirs(out_dir, exist_ok=True)
+    for f in range(num_folds):
+        fold = paths[f::num_folds]
+        with open(os.path.join(out_dir, f"fold_{f}.pkl"), "wb") as fh:
+            pickle.dump(fold, fh)
+    print(f"{len(paths)} videos -> {num_folds} folds in {out_dir}")
+
+
+def compute_metadata(video_paths: Sequence[str], out_path: str, clip_len: int = 16,
+                     skip: int = 16):
+    """Precompute the clip index (`compute_metadata_kinetics.py` /
+    torchvision VideoClips equivalent)."""
+    from ccvs_tpu.data import native
+
+    counts = []
+    for p in video_paths:
+        n = native.avi_frame_count(p) if native.available() else len(video_io.read_video(p))
+        counts.append(max(0, n))
+    index = build_clip_index(counts, clip_len, skip)
+    save_index(out_path, index)
+    print(f"{len(video_paths)} videos, {len(index)} clips -> {out_path}")
+
+
+def annotate_states(frames_dir: str, states_file: str, out_dir: str, dim: int = 256):
+    """Write `annotated_frames` with filename-encoded states
+    (`{id}_{x}_{y}.png`, reference `bairhd_dataset.py:36-40`).
+
+    ``states_file``: text file with lines ``frame_path x y`` (x, y in [0, 1]).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    with open(states_file) as f:
+        for i, line in enumerate(f):
+            path, x, y = line.split()
+            xi, yi = int(float(x) * dim), int(float(y) * dim)
+            shutil.copy(path, os.path.join(out_dir, f"{i}_{xi}_{yi}.png"))
+    print(f"annotated frames -> {out_dir}")
+
+
+def main():
+    p = argparse.ArgumentParser(prog="ccvs_tpu.data.prep")
+    sub = p.add_subparsers(dest="task", required=True)
+    b = sub.add_parser("bairhd")
+    b.add_argument("--data-root", required=True)
+    b.add_argument("--dim", type=int, default=256)
+    b.add_argument("--num-workers", type=int, default=8)
+    v = sub.add_parser("videos")
+    v.add_argument("--src", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--resize", type=int, default=256)
+    f = sub.add_parser("folds")
+    f.add_argument("--video-dir", required=True)
+    f.add_argument("--out-dir", required=True)
+    f.add_argument("--num-folds", type=int, required=True)
+    m = sub.add_parser("metadata")
+    m.add_argument("--video-dir", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--clip-len", type=int, default=16)
+    a = sub.add_parser("annotate")
+    a.add_argument("--frames-dir", required=True)
+    a.add_argument("--states-file", required=True)
+    a.add_argument("--out-dir", required=True)
+    args = p.parse_args()
+
+    if args.task == "bairhd":
+        preprocess_bairhd(args.data_root, args.dim, args.num_workers)
+    elif args.task == "videos":
+        preprocess_videos(args.src, args.out, video_io.read_video, resize=args.resize)
+    elif args.task == "folds":
+        from ccvs_tpu.data.base import scan_files, VID_EXTENSIONS
+
+        compute_folds(scan_files(args.video_dir, VID_EXTENSIONS), args.out_dir, args.num_folds)
+    elif args.task == "metadata":
+        from ccvs_tpu.data.base import scan_files, VID_EXTENSIONS
+
+        compute_metadata(scan_files(args.video_dir, VID_EXTENSIONS), args.out, args.clip_len)
+    elif args.task == "annotate":
+        annotate_states(args.frames_dir, args.states_file, args.out_dir)
+
+
+if __name__ == "__main__":
+    main()

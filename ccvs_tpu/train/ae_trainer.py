@@ -88,7 +88,7 @@ class FrameAutoencoderTrainer:
             )
         return img_loader, vid_loader
 
-    def run(self, n_iter=None, resume=False):
+    def run(self, n_iter=None, resume=False, profile_dir=None):
         cfg = self.cfg
         acfg = cfg.ae
         n_iter = n_iter or cfg.n_iter
@@ -109,8 +109,16 @@ class FrameAutoencoderTrainer:
         img_iter = iter(cycle_loader(img_loader))
         vid_iter = iter(cycle_loader(vid_loader)) if vid_loader else None
 
+        from ccvs_tpu.utils import profiling
+
         t0 = time.time()
         for it in range(start, n_iter):
+            # short profiler capture window (SURVEY section 5.1 parity+)
+            if profile_dir and it == start + 10:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and it == start + 13:
+                profiling.device_sync(state.gen)
+                jax.profiler.stop_trace()
             rng = jax.random.fold_in(key, it)
             batch = to_device(next(img_iter))
             state, gm, fake = self.g_step(state, batch, rng, mode="img")
