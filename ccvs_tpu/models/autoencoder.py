@@ -36,10 +36,25 @@ class FrameAutoencoder:
         self.cfg = cfg
         self.dtype = dtype
         self.encoder = SkipEncoder(cfg, dtype=dtype)
-        self.decoder = SkipDecoder(cfg, dtype=dtype)
+        dec_mode = "both" if (cfg.use_layout and cfg.same_decoder_layout) else "rgb"
+        self.decoder = SkipDecoder(cfg, mode=dec_mode, dtype=dtype)
         self.quantizer = VectorQuantizer(
             cfg.z_num, cfg.z_size, beta=0.25, mult=cfg.z_mult, normalize=cfg.normalize_out
         )
+        # layout twins (`quantized_video_model.py:132-160`): a parallel
+        # encoder/quantizer (+ decoder unless same_decoder_layout) over
+        # one-hot segmentation maps
+        self.encoder_l = None
+        self.decoder_l = None
+        self.quantizer_l = None
+        if cfg.use_layout:
+            self.encoder_l = SkipEncoder(cfg, mode="layout", dtype=dtype)
+            self.quantizer_l = VectorQuantizer(
+                cfg.z_num, cfg.z_size, beta=0.25, mult=cfg.z_mult,
+                normalize=cfg.normalize_out,
+            )
+            if not cfg.same_decoder_layout:
+                self.decoder_l = SkipDecoder(cfg, mode="layout", dtype=dtype)
 
     # ---------------- init ----------------
 
@@ -47,15 +62,54 @@ class FrameAutoencoder:
         cfg = self.cfg
         h = height or cfg.max_dim
         w = width or int(cfg.max_dim * cfg.aspect_ratio)
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
         x = jnp.zeros((1, h, w, 3), jnp.float32)
         e = self.encoder.init(k1, x)["params"]
         z = jnp.zeros((1, *cfg.z_shape, cfg.z_size), jnp.float32)
         q = self.quantizer.init(k2, z)["params"]
         inters = self._zero_inters(1, 1)
         inters_list = [[f[:, 0] for f in inters]]
-        g = self.decoder.init(k3, z.astype(self.dtype), inters_list)["params"]
-        return {"encoder": e, "quantizer": q, "decoder": g}
+        zg = jnp.concatenate([z, z], -1) if (cfg.use_layout and cfg.same_decoder_layout) else z
+        g = self.decoder.init(k3, zg.astype(self.dtype), inters_list)["params"]
+        params = {"encoder": e, "quantizer": q, "decoder": g}
+        if self.encoder_l is not None:
+            xl = jnp.zeros((1, h, w, cfg.layout_size), jnp.float32)
+            params["encoder_l"] = self.encoder_l.init(k4, xl)["params"]
+            params["quantizer_l"] = self.quantizer_l.init(k5, z)["params"]
+            if self.decoder_l is not None:
+                params["decoder_l"] = self.decoder_l.init(
+                    k6, z.astype(self.dtype), inters_list
+                )["params"]
+        return params
+
+    # ---------------- layout helpers ----------------
+
+    def one_hot_layout(self, layout):
+        """Integer segmentation (B[,T], H, W) -> one-hot NHWC
+        (`quantized_video_model.py:259,491`)."""
+        return jax.nn.one_hot(layout, self.cfg.layout_size, dtype=jnp.float32)
+
+    def encode_layout(self, params, layout):
+        """Layout maps -> (layout code indices, zl_q, layout inters)."""
+        soft = self.one_hot_layout(layout)
+        zl, inters_l = self.encoder_l.apply(
+            {"params": params["encoder_l"]}, soft.astype(self.dtype)
+        )
+        zl_q, _, (_, idx) = self.quantizer_l.apply(
+            {"params": params["quantizer_l"]}, zl.astype(jnp.float32)
+        )
+        lead = idx.shape[: idx.ndim - 2]
+        return {"code": idx.reshape(*lead, -1), "z": zl_q, "inter": inters_l}
+
+    @staticmethod
+    def merge_layout_inters(inter, inter_l):
+        """Half image channels + half layout channels per resolution
+        (`quantized_video_model.py:330-334`)."""
+        out = []
+        for f, fl in zip(inter, inter_l):
+            half = f.shape[-1] // 2
+            out.append(jnp.concatenate([f[..., :half], fl[..., half:]], axis=-1))
+        return out
 
     # ---------------- shapes ----------------
 

@@ -40,24 +40,20 @@ def local_correlation(first, second, stride=1):
     """
     b, h, w, c = first.shape
     s = stride
-    ho = -(-h // s)
-    wo = -(-w // s)
-
+    # Every sampled position (y*s + dy*s, x*s + dx*s) lies on the stride grid,
+    # so stride-s correlation reduces EXACTLY to stride-1 on the pre-strided
+    # planes — 1/s^2 the memory traffic of windowing the full-resolution map.
     q = first[:, ::s, ::s, :]  # (B, Ho, Wo, C)
-    pad = 3 * s
-    k = jnp.pad(second, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    kd = second[:, ::s, ::s, :]
+    ho, wo = q.shape[1], q.shape[2]
+    k = jnp.pad(kd, ((0, 0), (3, 3), (3, 3), (0, 0)))
 
     inv_c = jnp.asarray(1.0 / c, first.dtype)
     vols = []
     for dy in range(-3, 4):
         for dx in range(-3, 4):
-            y0 = pad + dy * s
-            x0 = pad + dx * s
             shifted = lax.slice(
-                k,
-                (0, y0, x0, 0),
-                (b, y0 + (ho - 1) * s + 1, x0 + (wo - 1) * s + 1, c),
-                (1, s, s, 1),
+                k, (0, 3 + dy, 3 + dx, 0), (b, 3 + dy + ho, 3 + dx + wo, c)
             )
             vols.append(jnp.sum(q * shifted, axis=-1) * inv_c)
     return jnp.stack(vols, axis=-1)

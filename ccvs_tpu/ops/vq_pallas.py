@@ -31,14 +31,17 @@ def _vq_kernel(z_ref, cb_ref, idx_ref, minval, argmin):
         minval[:] = jnp.full_like(minval[:], jnp.inf)
         argmin[:] = jnp.zeros_like(argmin[:])
 
-    z = z_ref[:].astype(jnp.float32)
+    # ||z - e||^2 = ||z||^2 + ||e||^2 - 2 z.e ; drop the row-constant ||z||^2.
+    # The -2 is folded into z: Mosaic mis-lowers the broadcast-subtract form
+    # `e2 - 2*prod` into a ~67MB VMEM stack temp (observed on v5e); the pure
+    # add form compiles cleanly.
+    z = z_ref[:].astype(jnp.float32) * -2.0
     cb = cb_ref[:].astype(jnp.float32)
-    # ||z - e||^2 = ||z||^2 + ||e||^2 - 2 z.e ; drop the row-constant ||z||^2
     e2 = jnp.sum(cb * cb, axis=1)[None, :]  # (1, TK)
     prod = jax.lax.dot_general(
         z, cb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TN, TK)
-    d = e2 - 2.0 * prod
+    d = prod + e2
 
     tile_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
     tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None] + j * tk

@@ -113,18 +113,45 @@ class AELosses:
             loss += quant_loss
             metrics["quant_img"] = quant_loss
 
+        # layout twin encode (`quantized_video_model.py:258-281`)
+        real_layout = batch.get("layout")
+        zl_q = inter_encl = None
+        if cfg.use_layout and real_layout is not None:
+            soft = ae.one_hot_layout(real_layout)
+            zl, inter_encl = ae.encoder_l.apply(
+                {"params": gen["encoder_l"]}, soft.astype(ae.dtype)
+            )
+            zl_q, lql, _ = ae.quantizer_l.apply(
+                {"params": gen["quantizer_l"]}, zl.astype(jnp.float32)
+            )
+            lql = lql * cfg.lambda_quant
+            if not cfg.no_q_img:
+                loss += lql
+                metrics["layout_quant_img"] = lql
+
         # inter-target shuffle within groups
         slide = jnp.asarray(self.slide_indices(b))
         inter_tgt = [f[slide] for f in inter_enc]
+        inter_tgtl = [f[slide] for f in inter_encl] if inter_encl is not None else None
 
         # elastic corruption: drop the corrupted context images from targets
         if cfg.elastic_corruption:
             no_corr, corr = self.corr_split(b)
-            z_q = z_q[jnp.asarray(no_corr)]
-            inter_tgt = [f[jnp.asarray(no_corr)] for f in inter_tgt]
-            real_tgt = real_img[jnp.asarray(no_corr)]
+            nc = jnp.asarray(no_corr)
+            z_q = z_q[nc]
+            inter_tgt = [f[nc] for f in inter_tgt]
+            real_tgt = real_img[nc]
+            if zl_q is not None:
+                zl_q = zl_q[nc]
+                inter_tgtl = [f[nc] for f in inter_tgtl]
+                real_layout = real_layout[nc]
         else:
             real_tgt = real_img
+
+        # merge image/layout inters + latents (`quantized_video_model.py:330-334`)
+        if zl_q is not None and cfg.same_decoder_layout:
+            inter_tgt = FrameAutoencoder.merge_layout_inters(inter_tgt, inter_tgtl)
+            z_q = jnp.concatenate([z_q, zl_q], axis=-1)
 
         keep_mask = None
         if cfg.inter_drop_p > 0:
@@ -132,7 +159,7 @@ class AELosses:
                 jax.random.uniform(rng, (z_q.shape[0],)) >= cfg.inter_drop_p
             ).astype(jnp.float32)
 
-        fake_img, _, inter_flows, inter_occs, inter_dec = ae.decoder.apply(
+        fake_img, fake_layout, inter_flows, inter_occs, inter_dec = ae.decoder.apply(
             {"params": gen["decoder"]},
             z_q.astype(ae.dtype),
             [inter_tgt],
@@ -140,6 +167,20 @@ class AELosses:
             keep_mask=keep_mask,
         )
         fake_img = fake_img.astype(jnp.float32)
+
+        # layout decode + CE (`quantized_video_model.py:337-349`)
+        if zl_q is not None:
+            if not cfg.same_decoder_layout:
+                fake_layout, _ = ae.decoder_l.apply(
+                    {"params": gen["decoder_l"]}, zl_q.astype(ae.dtype), [inter_tgtl],
+                    keep_mask=keep_mask,
+                )
+            logp = jax.nn.log_softmax(fake_layout.astype(jnp.float32), axis=-1)
+            lce = -jnp.mean(
+                jnp.take_along_axis(logp, real_layout[..., None].astype(jnp.int32), axis=-1)
+            )
+            loss += lce
+            metrics["layout_img"] = lce
         occ_mask = jax.nn.sigmoid(inter_occs[-1].astype(jnp.float32)) if inter_occs else None
 
         # elastic mask recovery (`:352-359`)
@@ -289,6 +330,27 @@ class AELosses:
             loss += adv
             metrics["gen_vid"] = adv
 
+        # unconditional generation head (`quantized_video_model.py:587-601`):
+        # decode without any context and push frames through the image D
+        fake_unc_vid = None
+        if cfg.use_unc_gen:
+            fake_unc_vid, _ = ae.decoder.apply(
+                {"params": gen["decoder"]}, z_q.astype(ae.dtype), None, has_ctx=False
+            )
+            fake_unc_vid = fake_unc_vid.astype(jnp.float32)
+            unc_img = fake_unc_vid.reshape(-1, *fake_unc_vid.shape[2:])
+            real_all = real_vid.reshape(-1, *real_vid.shape[2:]).astype(jnp.float32)
+            if cfg.use_di and disc is not None:
+                score = self.di.apply({"params": disc["di"]}, unc_img)
+                adv = gl.GENERATOR_LOSSES[cfg.gan_loss](score) * cfg.lambda_gan
+                loss += adv
+                metrics["gen_img_unc"] = adv
+            per = jnp.mean(jnp.abs(real_all - unc_img))
+            if vgg_params is not None:
+                per = per + vgg_mod.vgg_loss(vgg_params, unc_img, real_all) * cfg.lambda_vgg
+            loss += per
+            metrics["per_img_unc"] = per
+
         # feature discriminator: videos are the "real" domain (`:604-608`)
         if cfg.use_df and disc is not None:
             score = self.df.apply({"params": disc["df"]}, z_q.astype(jnp.float32))
@@ -296,7 +358,7 @@ class AELosses:
             loss += advf
             metrics["gen_feat_real"] = advf
 
-        fake_data = {"vid": fake_vid, "z": z_q}
+        fake_data = {"vid": fake_vid, "z": z_q, "unc_vid": fake_unc_vid}
         return loss, (metrics, fake_data)
 
     # ---------- discriminator losses ----------
@@ -325,7 +387,8 @@ class AELosses:
             metrics["dis_feat_fake"] = d
         return loss, (metrics, real_score)
 
-    def vid_discriminator_loss(self, disc, real_vid, fake_vid, fake_z=None):
+    def vid_discriminator_loss(self, disc, real_vid, fake_vid, fake_z=None,
+                               fake_unc_vid=None):
         """`compute_vid_discriminator_loss` (`quantized_video_model.py:704-741`)."""
         cfg = self.cfg
         metrics = {}
@@ -336,6 +399,17 @@ class AELosses:
             d = gl.DISCRIMINATOR_LOSSES[cfg.gan_loss](rs, fs)
             loss += d
             metrics["dis_vid"] = d
+        if cfg.use_unc_gen and fake_unc_vid is not None and cfg.use_di:
+            # unconditional frames through the image D (`:714-723`)
+            real_img = real_vid.reshape(-1, *real_vid.shape[2:])
+            fake_img = jax.lax.stop_gradient(
+                fake_unc_vid.reshape(-1, *fake_unc_vid.shape[2:])
+            )
+            fs = self.di.apply({"params": disc["di"]}, fake_img)
+            rs = self.di.apply({"params": disc["di"]}, real_img)
+            d = gl.DISCRIMINATOR_LOSSES[cfg.gan_loss](rs, fs) * cfg.lambda_gan
+            loss += d
+            metrics["dis_img_unc"] = d
         if cfg.use_df and fake_z is not None:
             rs = self.df.apply({"params": disc["df"]}, jax.lax.stop_gradient(fake_z))
             d = gl.d_logistic_real_only(rs)

@@ -72,7 +72,8 @@ def make_ae_steps(losses: AELosses, vgg_params, aug_fn=None):
                 )
                 return l, (m, real_score)
             l, m = losses.vid_discriminator_loss(
-                disc, batch["vid"], fake_data["vid"], fake_data.get("z")
+                disc, batch["vid"], fake_data["vid"], fake_data.get("z"),
+                fake_unc_vid=fake_data.get("unc_vid"),
             )
             return l, (m, None)
 

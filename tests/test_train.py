@@ -190,3 +190,60 @@ def test_native_loader():
     got = native.avi_decode_frames(avi, [0, 2, 4], 48, 48)
     assert got.shape == (3, 48, 48, 3)
     assert np.abs(got[1].astype(int) - frames[2].astype(int)).mean() < 3
+
+
+def test_layout_twins(rng):
+    """Layout-twin autoencoder: both shared and separate decoder modes."""
+    import dataclasses
+    for same in (True, False):
+        cfg = dataclasses.replace(
+            AE_CFG, use_layout=True, layout_size=5, same_decoder_layout=same,
+            use_di=False, use_dv=False, load_elastic_view=False,
+            elastic_corruption=False, use_elastic_flow_recovery=False,
+            slide_inter=False, n_consecutive_img=1,
+        )
+        ae = FrameAutoencoder(cfg, dtype=jnp.float32)
+        losses = AELosses(cfg, ae)
+        gen = ae.init(jax.random.PRNGKey(0))
+        assert "encoder_l" in gen and "quantizer_l" in gen
+        assert ("decoder_l" in gen) == (not same)
+        batch = {
+            "img": jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32) * 0.2),
+            "layout": jnp.asarray(rng.randint(0, 5, (2, 8, 8))),
+        }
+        loss, (m, fake) = losses.img_generator_loss(gen, None, None, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        assert "layout_img" in m and "layout_quant_img" in m
+        # layout encode helper
+        enc_l = ae.encode_layout(gen, batch["layout"])
+        assert enc_l["code"].shape == (2, 16)  # 4x4 latent grid
+
+        # gradients flow into the layout twin params
+        g = jax.grad(lambda p: losses.img_generator_loss(p, None, None, batch, jax.random.PRNGKey(1))[0])(gen)
+        lsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g["encoder_l"]))
+        assert lsum > 0
+
+
+def test_unc_gen_path(rng):
+    """use_unc_gen: unconditional decode head + image-D losses in the vid path."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        AE_CFG, use_unc_gen=True, load_elastic_view=False, elastic_corruption=False,
+        use_elastic_flow_recovery=False, slide_inter=False, n_consecutive_img=1,
+    )
+    ae = FrameAutoencoder(cfg, dtype=jnp.float32)
+    di = ImageDiscriminator(cfg)
+    dv = VideoDiscriminator(cfg, vid_len=cfg.vid_len)
+    losses = AELosses(cfg, ae, di=di, dv=dv)
+    key = jax.random.PRNGKey(0)
+    gen = ae.init(key)
+    disc = {
+        "di": di.init(key, jnp.zeros((2, 8, 8, 3)))["params"],
+        "dv": dv.init(key, jnp.zeros((2, cfg.vid_len, 8, 8, 3)))["params"],
+    }
+    batch = {"vid": jnp.asarray(rng.randn(2, 3, 8, 8, 3).astype(np.float32) * 0.2)}
+    loss, (m, fake) = losses.vid_generator_loss(gen, disc, None, batch, key)
+    assert "gen_img_unc" in m and "per_img_unc" in m
+    assert fake["unc_vid"].shape == (2, 3, 8, 8, 3)
+    dl, dm = losses.vid_discriminator_loss(disc, batch["vid"], fake["vid"], fake["z"], fake["unc_vid"])
+    assert "dis_img_unc" in dm and np.isfinite(float(dl))
