@@ -39,7 +39,9 @@ class VideoGenerator:
         self.stft_model = stft_model
 
     def generate(self, params, rng, real_vid, stft=None, vid_lbl=None,
-                 rec=True, n_ctx_frames: Optional[int] = None):
+                 rec=True, n_ctx_frames: Optional[int] = None,
+                 keep_state: bool = False, custom_state=None,
+                 down_size: Optional[int] = None):
         """Synthesise videos continuing `real_vid`'s first context frames.
 
         Args:
@@ -58,6 +60,15 @@ class VideoGenerator:
         if n_ctx_frames is None:
             n_ctx_frames = gcfg.cond_len // size
 
+        if down_size is not None:
+            # degrade inputs to a target size (reference `--down_size`,
+            # `generator.py:59-66`)
+            h = real_vid.shape[2]
+            small = jax.image.resize(
+                real_vid, (*real_vid.shape[:2], down_size, down_size, 3), "bilinear"
+            )
+            real_vid = jax.image.resize(small, real_vid.shape, "bilinear")
+
         enc = self.ae.encode(params["ae"], real_vid)
         code_all = enc["code"].reshape(b, -1)  # (B, T*size)
 
@@ -70,18 +81,45 @@ class VideoGenerator:
         if gcfg.state and self.state_model is not None and not gcfg.stft:
             z_all = self.ae.embed_code(params["ae"], enc["code"])
             real_state = self.state_model.estimate(params["state"], z_all)
-            state_code_full = self.state_model.encode(params["state"], state=real_state)
             out["state"] = real_state
-            # keep_state: condition on the full (ground-truth) state track
-            state_code = state_code_full  # given stream; sampling mode crops below
+            if custom_state is not None:
+                # custom trajectory (reference `--custom_state`,
+                # `generator.py:112-115`)
+                state_code = self.state_model.encode(params["state"], state=custom_state)
+                keep_state = True
+            else:
+                state_code = self.state_model.encode(params["state"], state=real_state)
         if gcfg.stft and self.stft_model is not None and stft is not None:
             state_code = self.stft_model.encode(params["stft"], stft)
 
+        ctx_vid = real_vid
+        if gcfg.deblurring:
+            # blurred-video conditioning (`generator.py:125-129`): the blurred
+            # clip's tokens are the given control stream, and decode contexts
+            # come from the blurred frames
+            from ccvs_tpu.train.transformer_trainer import blur_video
+
+            blurred = jnp.asarray(blur_video(np.asarray(real_vid), gcfg.blur_sigma))
+            benc = self.ae.encode(params["ae"], blurred)
+            state_code = benc["code"].reshape(b, -1)
+            ctx_vid = blurred
+            out["blur"] = blurred
+
+        if gcfg.cat and vid_lbl is None:
+            # random target classes (reference `generator.py:120-123`)
+            rng, sub = jax.random.split(rng)
+            vid_lbl = jax.random.randint(sub, (b,), 0, gcfg.num_lbl)
+            out["vid_lbl"] = vid_lbl
+
         # token budget (reference `generator.py:83-92`)
+        cond_inter = None
         if gcfg.p2p:
             cond_step, t_step = 1, t - 1
             cond_code = code_all[:, -gcfg.z_chunk :]
             delta = jnp.full((b,), t - 1, jnp.int32)
+            # end-frame skip features are an extra decode context
+            # (`generator.py:105`, `quantized_video_model.py:868-873`)
+            cond_inter = [f[:, -1].astype(self.ae.dtype) for f in enc["inter"]]
         else:
             cond_step, t_step = 0, t
         total_len = (cond_step + t_step) * size
@@ -89,9 +127,11 @@ class VideoGenerator:
             total_len += t_step * gcfg.state_size
 
         ctx_code = code_all[:, : n_ctx_frames * size]
-        keep_state_stream = gcfg.stft  # audio is always a given stream
+        # keep_state / audio / deblur: the full control stream is given;
+        # otherwise the transformer samples states beyond the context
+        # (`generator.py:107-117`)
+        keep_state_stream = gcfg.stft or gcfg.deblurring or keep_state
         if state_code is not None and not keep_state_stream:
-            # sampling mode: crop states to context proportion
             state_code = state_code[:, : n_ctx_frames * gcfg.state_size]
 
         gen = self.transformer.generate(
@@ -99,13 +139,15 @@ class VideoGenerator:
             cond_code=cond_code, delta=delta, lbl=vid_lbl, total_len=total_len,
         )
 
-        codes = gen["code"][:, : t * size].reshape(b, t, size)
+        n_frames = t_step
+        codes = gen["code"][:, : n_frames * size].reshape(b, n_frames, size)
         fake = self.ae.decode_video(
-            params["ae"], codes, ctx_frames=real_vid[:, :n_ctx_frames],
-            n_ctx=n_ctx_frames,
+            params["ae"], codes, ctx_frames=ctx_vid[:, :n_ctx_frames],
+            n_ctx=n_ctx_frames, cond_inter=cond_inter,
         )
         if gcfg.p2p:
-            fake = jnp.concatenate([fake[:, :-1], real_vid[:, -1:]], axis=1)
+            # the real end frame closes the clip (`generator.py:166-167`)
+            fake = jnp.concatenate([fake, real_vid[:, -1:]], axis=1)
         out["fake"] = fake
 
         if gen.get("state_code") is not None and self.state_model is not None and not gcfg.stft:
@@ -175,6 +217,15 @@ class VideoGenerator:
             curr += 1
         return {"fake": jnp.stack(frames, axis=1)}
 
+    def generate_from_image(self, params, rng, img, vid_len=None, **kw):
+        """Generate a video from a single frame (reference `--gen_from_img`,
+        `generator.py:278-279`): treat the image as a 1-frame context."""
+        cfg = self.cfg
+        t = vid_len or cfg.data.vid_len
+        b = img.shape[0]
+        pad = jnp.tile(img[:, None], (1, t, 1, 1, 1))
+        return self.generate(params, rng, pad, n_ctx_frames=1, rec=False, **kw)
+
     def save_batch(self, result_path, global_iter, batch_size, real_vid, out,
                    fps=4, imagenet_norm=False, dataset="bairhd"):
         """Write real/fake/rec videos (`helpers/generator.py:199-230`)."""
@@ -205,3 +256,29 @@ class VideoGenerator:
                     vid_id = batch_size * global_iter + i
                     path = os.path.join(result_path, name, f"vid_{vid_id:05d}.avi")
                     video_io.write_video(path, marked, fps=fps)
+
+
+def square_trajectory(init_state, vid_len):
+    """Custom square-path state trajectory demo (reference
+    `helpers/generator.py:362-379`). init_state: (B, 1, 2) in [0,1]^2."""
+    init = np.asarray(init_state)
+    b = init.shape[0]
+    out = np.tile(init, (1, vid_len, 1))
+    step = 10 / 64
+    deltas = [(0, -step), (step, 0), (0, step), (-step, 0)]
+
+    def inside(u, v):
+        return 0.2 <= u < 0.8 and 0.2 <= v < 0.8
+
+    for i in range(b):
+        x, y = float(init[i, 0, 0]), float(init[i, 0, 1])
+        t = 0
+        dx, dy = deltas[t]
+        for j in range(1, vid_len):
+            while not inside(x + dx, y + dy):
+                t = (t + 1) % 4
+                dx, dy = deltas[t]
+            x += dx
+            y += dy
+            out[i, j] = (x, y)
+    return jnp.asarray(out)

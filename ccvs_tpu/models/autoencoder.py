@@ -156,7 +156,7 @@ class FrameAutoencoder:
     # ---------------- single-frame decode ----------------
 
     def decode_frame(self, params, z, inter_fifo, fifo_mask, has_ctx=True,
-                     inter_pre_warping=False):
+                     inter_pre_warping=False, extra_ctx=None):
         """Decode one frame against the context FIFO.
 
         Args:
@@ -174,6 +174,12 @@ class FrameAutoencoder:
         # contexts as list-of-lists: k = M slots, most recent first is not
         # required — masking handles validity; order follows slots.
         inter_tgts = [[f[:, s] for f in inter_fifo] for s in range(m)]
+        if extra_ctx is not None:
+            # e.g. the p2p end-frame context, warped at every step
+            # (`quantized_video_model.py:868-873`)
+            inter_tgts = inter_tgts + [extra_ctx]
+            ones = jnp.ones((fifo_mask.shape[0], 1), fifo_mask.dtype)
+            fifo_mask = jnp.concatenate([fifo_mask, ones], axis=1)
         rgb, _, flows, occs, inter_dec = self.decoder.apply(
             {"params": params["decoder"]},
             z.astype(self.dtype),
@@ -225,12 +231,13 @@ class FrameAutoencoder:
 
     # ---------------- video decode (doubly-AR rollout) ----------------
 
-    def _decode_step_fn(self, params, fifo, curr, z_t):
+    def _decode_step_fn(self, params, fifo, curr, z_t, cond_inter=None):
         """One rollout step: decode frame, refresh context, push FIFO."""
         cfg = self.cfg
         mask = self.fifo_mask(z_t.shape[0], curr)
         rgb, inter_dec = self.decode_frame(
-            params, z_t, fifo, mask, has_ctx=True, inter_pre_warping=False
+            params, z_t, fifo, mask, has_ctx=True, inter_pre_warping=False,
+            extra_ctx=cond_inter,
         )
         if cfg.skip_mode == "enc":
             new_inter = self.refresh_inter(params, rgb)
@@ -293,7 +300,7 @@ class FrameAutoencoder:
         if use_scan:
             def scan_step(carry, z_t):
                 fifo, curr = carry
-                fifo, rgb = self._decode_step_fn(params, fifo, curr, z_t)
+                fifo, rgb = self._decode_step_fn(params, fifo, curr, z_t, cond_inter)
                 return (fifo, curr + 1), rgb
 
             (_, _), frames = jax.lax.scan(
@@ -308,7 +315,7 @@ class FrameAutoencoder:
             outs = []
             curr = jnp.asarray(n_ctx, jnp.int32)
             for i in range(t - n_ctx):
-                fifo, rgb = jstep(params, fifo, curr, z_gen[i])
+                fifo, rgb = jstep(params, fifo, curr, z_gen[i], cond_inter)
                 outs.append(rgb)
                 curr = curr + 1
             frames = jnp.stack(outs, axis=0)

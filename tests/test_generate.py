@@ -149,3 +149,76 @@ def test_generate_step_by_step(rng):
     out = gen.generate_step_by_step(params, jax.random.PRNGKey(1), vid)
     assert out["fake"].shape == (1, 4, 8, 8, 3)
     assert np.isfinite(np.asarray(out["fake"])).all()
+
+
+def test_generate_keep_state_and_custom(rng):
+    from ccvs_tpu.generate import square_trajectory
+    from ccvs_tpu.models import StateModel
+
+    cfg = TransformerConfig(
+        z_num=32, z_len=72, z_chunk=18, num_blocks=4, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        state=True, state_num=8, state_size=2, top_k=5,
+    )
+    sc = StateConfig(z_size=16, z_shape=(4, 4), state_hsize=8, state_size=2, state_num=8)
+    ae = FrameAutoencoder(AE, dtype=jnp.float32)
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    sm = StateModel(sc)
+    key = jax.random.PRNGKey(0)
+    params = {"ae": ae.init(key), "gpt": tr.init(key, batch=1), "state": sm.init(key)}
+    gen = VideoGenerator(Config(ae=AE, gpt=cfg, state=sc), ae, tr, state_model=sm)
+    vid = jnp.asarray(rng.randn(1, 4, 8, 8, 3).astype(np.float32)) * 0.1
+
+    out = gen.generate(params, jax.random.PRNGKey(1), vid, rec=False, keep_state=True)
+    assert out["fake"].shape == (1, 4, 8, 8, 3)
+    assert "fake_state" in out
+
+    traj = square_trajectory(np.full((1, 1, 2), 0.5, np.float32), 4)
+    assert traj.shape == (1, 4, 2)
+    out2 = gen.generate(params, jax.random.PRNGKey(2), vid, rec=False, custom_state=traj)
+    assert out2["fake"].shape == (1, 4, 8, 8, 3)
+
+
+def test_generate_from_image(rng):
+    ae, tr, params = _models()
+    gen = VideoGenerator(Config(ae=AE, gpt=GPTC), ae, tr)
+    img = jnp.asarray(rng.randn(1, 8, 8, 3).astype(np.float32)) * 0.1
+    out = gen.generate_from_image(params, jax.random.PRNGKey(0), img, vid_len=4)
+    assert out["fake"].shape == (1, 4, 8, 8, 3)
+
+
+def test_generate_p2p_full_pipeline(rng):
+    """p2p end-to-end: cond tokens + end-frame decode context + real last frame."""
+    cfg = TransformerConfig(
+        z_num=32, z_len=64, z_chunk=16, num_blocks=4, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        p2p=True, top_k=5,
+    )
+    ae = FrameAutoencoder(AE, dtype=jnp.float32)
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params = {"ae": ae.init(key), "gpt": tr.init(key, batch=1)}
+    gen = VideoGenerator(Config(ae=AE, gpt=cfg), ae, tr)
+    vid = jnp.asarray(rng.randn(1, 4, 8, 8, 3).astype(np.float32)) * 0.1
+    out = gen.generate(params, jax.random.PRNGKey(1), vid, rec=False)
+    assert out["fake"].shape == (1, 4, 8, 8, 3)
+    # last frame is the real end frame
+    np.testing.assert_allclose(np.asarray(out["fake"][:, -1]), np.asarray(vid[:, -1]))
+
+
+def test_generate_deblurring(rng):
+    cfg = TransformerConfig(
+        z_num=32, z_len=80, z_chunk=32, num_blocks=2, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        deblurring=True, state=False, state_num=32, state_size=16, blur_sigma=2,
+        top_k=5,
+    )
+    ae = FrameAutoencoder(AE, dtype=jnp.float32)
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params = {"ae": ae.init(key), "gpt": tr.init(key, batch=1)}
+    gen = VideoGenerator(Config(ae=AE, gpt=cfg), ae, tr)
+    vid = jnp.asarray(rng.randn(1, 2, 8, 8, 3).astype(np.float32)) * 0.1
+    out = gen.generate(params, jax.random.PRNGKey(1), vid, rec=False)
+    assert out["fake"].shape == (1, 2, 8, 8, 3)
+    assert "blur" in out
