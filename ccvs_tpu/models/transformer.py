@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ccvs_tpu.config import TransformerConfig
-from ccvs_tpu.nn.gpt import GPT, KIND_FRAME, KIND_STATE, Schedule, build_schedule, decode_step_fn
+from ccvs_tpu.nn.gpt import (GPT, KIND_FRAME, KIND_STATE, Schedule,
+                             build_schedule, cache_to_layers, decode_step_fn)
 
 
 class TokenTransformer:
@@ -259,6 +260,7 @@ class TokenTransformer:
         )
         emb = body_emb if prefix_emb is None else jnp.concatenate([prefix_emb, body_emb], axis=1)
         logits_all, cache = model.apply({"params": params}, emb, cache, method=GPT.prefill)
+        cache = cache_to_layers(cache)
         # logits at absolute position (prefix_len + start - 1) predict body[start]
         logits0 = jax.lax.dynamic_index_in_dim(
             logits_all, prefix_len + start - 1, axis=1, keepdims=False
@@ -350,6 +352,7 @@ class TokenTransformer:
         )
         emb = body_emb if prefix_emb is None else jnp.concatenate([prefix_emb, body_emb], axis=1)
         logits_all, cache = model.apply({"params": params}, emb, cache, method=GPT.prefill)
+        cache = cache_to_layers(cache)
         logits0 = jax.lax.dynamic_index_in_dim(
             logits_all, prefix_len + start - 1, axis=1, keepdims=False
         )  # (bb, V)
@@ -400,7 +403,7 @@ class TokenTransformer:
                 ).reshape(bb)
                 gather_idx = (jnp.arange(b)[:, None] * beam + parent).reshape(bb)
                 merged_b = merged_b[gather_idx]
-                cache = jax.tree_util.tree_map(lambda c: c[:, gather_idx], cache)
+                cache = jax.tree_util.tree_map(lambda c: c[gather_idx], cache)
                 new_log_p = new_log_p.reshape(bb)
             merged_b = jax.lax.dynamic_update_index_in_dim(merged_b, tok, j, axis=1)
             emb1 = model.apply(
@@ -422,3 +425,50 @@ def _ce(logits, targets):
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return jnp.mean(nll)
+
+
+class ContinuousTransformer:
+    """Continuous-embedding transformer (CGPT) wrapper.
+
+    The reference's `is_continuous` path (`transformer_model.py:147-159`,
+    active branch): MSE next-embedding regression and single-step
+    autoregressive rollout with optional prediction normalization.
+    """
+
+    def __init__(self, cfg: TransformerConfig, dtype=jnp.bfloat16):
+        from ccvs_tpu.nn.gpt import CGPT
+
+        self.cfg = cfg
+        self.model = CGPT(cfg, dtype=dtype)
+
+    def init(self, key, batch=1):
+        x = jnp.zeros((batch, self.cfg.z_len - 1, self.cfg.n_in), jnp.float32)
+        return self.model.init(key, x)["params"]
+
+    def loss(self, params, code):
+        """MSE over next-embedding predictions (`transformer_model.py:159`)."""
+        code = code[:, : self.cfg.z_len]
+        pred = self.model.apply({"params": params}, code[:, :-1])
+        if self.cfg.n_proposals > 1:
+            pred = pred[1]  # proposals; score best-of below
+            tgt = code[:, 1:][:, :, None]
+            mse = jnp.min(jnp.mean((pred - tgt) ** 2, axis=-1), axis=-1).mean()
+        else:
+            mse = jnp.mean((pred - code[:, 1:]) ** 2)
+        return mse, {"nll": mse}
+
+    def generate(self, params, code, total_len, normalize_pred=False):
+        """Greedy continuous rollout (`transformer_model.py:344-348`)."""
+        n0 = code.shape[1]
+        for _ in range(total_len - n0):
+            pred = self.model.apply({"params": params}, code, single=True)
+            if self.cfg.n_proposals > 1:
+                logits, props = pred
+                best = jnp.argmax(logits[:, -1], axis=-1)
+                pred = jnp.take_along_axis(
+                    props[:, -1], best[:, None, None], axis=1
+                )
+            if normalize_pred:
+                pred = pred / jnp.linalg.norm(pred, axis=-1, keepdims=True)
+            code = jnp.concatenate([code, pred.reshape(code.shape[0], 1, -1)], axis=1)
+        return code

@@ -130,19 +130,27 @@ class CausalSelfAttention(nn.Module):
             lmax = ck.shape[2]
             pos_k = jnp.arange(lmax)[None, :]
             if t == 1:
-                # squeezed single-token decode: (B, nh, hd) x (B, nh, L, hd)
                 q1 = q[:, 0]  # (B, nh, hd)
-                att = jnp.einsum(
-                    "bhd,bhld->bhl", q1, ck.astype(q.dtype),
-                    preferred_element_type=jnp.float32,
-                ) * scale.astype(jnp.float32)
-                mask1 = (pos_k <= index)[0]  # (L,)
-                att = jnp.where(mask1[None, None], att, -1e9)
-                att = jax.nn.softmax(att, axis=-1).astype(self.dtype)
-                y = jnp.einsum(
-                    "bhl,bhld->bhd", att, cv.astype(att.dtype),
-                    preferred_element_type=self.dtype,
-                )
+                use_flash = jax.default_backend() == "tpu"
+                if use_flash:
+                    # fused Pallas flash-decode: each (b, h) cache plane is
+                    # read once at streaming bandwidth (XLA's batched-matvec
+                    # lowering runs at a few % of HBM BW)
+                    from ccvs_tpu.ops.attention_pallas import flash_decode_attention
+
+                    y = flash_decode_attention(q1, ck, cv, index)
+                else:
+                    att = jnp.einsum(
+                        "bhd,bhld->bhl", q1, ck.astype(q.dtype),
+                        preferred_element_type=jnp.float32,
+                    ) * scale.astype(jnp.float32)
+                    mask1 = (pos_k <= index)[0]  # (L,)
+                    att = jnp.where(mask1[None, None], att, -1e9)
+                    att = jax.nn.softmax(att, axis=-1).astype(self.dtype)
+                    y = jnp.einsum(
+                        "bhl,bhld->bhd", att, cv.astype(att.dtype),
+                        preferred_element_type=self.dtype,
+                    )
                 y = y[:, None]  # (B, 1, nh, hd)
             else:
                 att = jnp.einsum("bqhd,bhld->bhql", q, ck.astype(q.dtype)) * scale
@@ -230,42 +238,47 @@ class GPTCore(nn.Module):
         return x, new_cache
 
 
+def cache_to_layers(cache):
+    """Stacked (n_layer, ...) cache -> tuple-of-layers form for decoding."""
+    ck, cv = cache
+    n = ck.shape[0]
+    return (tuple(ck[l] for l in range(n)), tuple(cv[l] for l in range(n)))
+
+
 def decode_step_fn(cfg: TransformerConfig, params, emb1, pos, cache, dtype=jnp.bfloat16):
     """Pure cached decode step with an in-place layer loop.
 
     The layer-stacked `nn.scan` path copies the full KV cache every step
-    (scan xs -> ys are distinct buffers). Here a `fori_loop` carries the
-    whole cache and updates one layer's slice per iteration with
-    `dynamic_update_index_in_dim`, which XLA aliases in place — cache HBM
-    traffic per token drops from ~3x to ~1x its size.
+    (scan xs -> ys are distinct buffers), and dynamic per-layer indexing of a
+    stacked cache copies it again. Here the cache is a tuple of per-layer
+    buffers (see :func:`cache_to_layers`) updated through an unrolled layer
+    loop — each step touches only one layer's buffer, which XLA aliases in
+    place, so cache HBM traffic per token is ~1x the attention reads.
 
     Args:
       params: GPT params (as produced by `GPT.init`).
       emb1: (B, 1, D) embedded input token.
       pos: scalar absolute position.
-      cache: (k, v) of (n_layer, B, nh, L, hd).
+      cache: (k_layers, v_layers) tuples of per-layer (B, nh, L, hd).
     Returns:
-      (logits (B, V), new_cache).
+      (logits (B, V), new_cache in the same tuple form).
     """
     core = params["core"]
     block_stack = core["blocks"]["block"]
     block_mod = Block(cfg, dtype=dtype)
 
-    def body(l, carry):
-        x, cache = carry
-        bp = jax.tree_util.tree_map(
-            lambda p: jax.lax.dynamic_index_in_dim(p, l, 0, keepdims=False), block_stack
-        )
-        lc = jax.tree_util.tree_map(
-            lambda c: jax.lax.dynamic_index_in_dim(c, l, 0, keepdims=False), cache
-        )
-        x, new_lc = block_mod.apply({"params": bp}, x, cache=lc, index=pos)
-        cache = jax.tree_util.tree_map(
-            lambda c, n: jax.lax.dynamic_update_index_in_dim(c, n, l, 0), cache, new_lc
-        )
-        return (x, cache)
-
-    x, cache = jax.lax.fori_loop(0, cfg.n_layer, body, (emb1, cache))
+    # Unrolled layer loop over a tuple-of-layers cache: dynamic indexing of a
+    # stacked cache forces per-layer copies of the whole buffer, and stacking
+    # the result copies it again; per-layer buffers update in place.
+    ck_all, cv_all = cache  # tuples of per-layer (B, nh, L, hd)
+    x = emb1
+    new_k, new_v = [], []
+    for l in range(cfg.n_layer):
+        bp = jax.tree_util.tree_map(lambda p: p[l], block_stack)
+        x, (nk, nv) = block_mod.apply({"params": bp}, x, cache=(ck_all[l], cv_all[l]), index=pos)
+        new_k.append(nk)
+        new_v.append(nv)
+    cache = (tuple(new_k), tuple(new_v))
     ln = core["ln_f"]
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)

@@ -81,7 +81,13 @@ class FrameAutoencoderTrainer:
         )
         vid_loader = None
         if cfg.data.is_seq:
-            vid_ds = create_dataset(cfg.data, phase="train", load_vid=True)
+            import dataclasses
+
+            # AE training uses its own (short) rollout length — e.g. 4 frames
+            # for BAIR (`scripts/bairhd/train_frame_autoencoder.sh: --vid_len 4`)
+            # while generation clips use data.vid_len (16).
+            vid_data_cfg = dataclasses.replace(cfg.data, vid_len=cfg.ae.vid_len)
+            vid_ds = create_dataset(vid_data_cfg, phase="train", load_vid=True)
             vid_loader = PrefetchLoader(
                 vid_ds, cfg.data.batch_size_vid, num_workers=cfg.data.num_workers,
                 seed=cfg.seed + 1,
@@ -95,6 +101,9 @@ class FrameAutoencoderTrainer:
         ckpt_path = os.path.join(cfg.save_path, "checkpoints", cfg.name)
         log_path = os.path.join(cfg.save_path, "logs", cfg.name)
         ckpt = CheckpointManager(ckpt_path)
+        os.makedirs(os.path.join(cfg.save_path, "checkpoints", cfg.name), exist_ok=True)
+        with open(os.path.join(cfg.save_path, "checkpoints", cfg.name, "config.json"), "w") as f:
+            f.write(cfg.to_json())
         logger = Logger(log_path, imagenet_norm=cfg.data.imagenet_norm)
 
         key = jax.random.PRNGKey(cfg.seed)

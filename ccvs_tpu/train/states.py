@@ -65,6 +65,31 @@ def make_transformer_optimizer(cfg: TransformerConfig, n_iter: int):
         )
     else:
         sched = optax.linear_schedule(0.0, cfg.lr, max(cfg.lr_warmup_iter, 1))
+
+    if cfg.finetune_head:
+        # head-only / lowered-LR finetuning (`transformer_model.py:85-132`):
+        # the output head trains at full lr; everything else at
+        # lr * finetune_f (frozen when finetune_f is None).
+        def label(params):
+            def f(path, _):
+                in_head = any(getattr(k, "key", None) == "head" for k in path)
+                return "head" if in_head else "rest"
+
+            return jax.tree_util.tree_map_with_path(f, params)
+
+        f = cfg.finetune_f
+        if f is None:
+            rest = optax.set_to_zero()
+        else:
+            rest_sched = lambda step: sched(step) * f
+            rest = optax.adamw(
+                rest_sched, b1=cfg.beta1, b2=cfg.beta2,
+                weight_decay=cfg.weight_decay, mask=decay_mask,
+            )
+        head = optax.adamw(sched, b1=cfg.beta1, b2=cfg.beta2,
+                           weight_decay=cfg.weight_decay)
+        return optax.multi_transform({"head": head, "rest": rest}, label)
+
     return optax.adamw(
         sched, b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.weight_decay,
         mask=decay_mask,

@@ -87,6 +87,9 @@ class TransformerTrainer:
         cfg = self.cfg
         n_iter = n_iter or cfg.n_iter
         ckpt = CheckpointManager(os.path.join(cfg.save_path, "checkpoints", cfg.name))
+        os.makedirs(os.path.join(cfg.save_path, "checkpoints", cfg.name), exist_ok=True)
+        with open(os.path.join(cfg.save_path, "checkpoints", cfg.name, "config.json"), "w") as f:
+            f.write(cfg.to_json())
         logger = Logger(os.path.join(cfg.save_path, "logs", cfg.name),
                         imagenet_norm=cfg.data.imagenet_norm)
 

@@ -247,3 +247,43 @@ def test_unc_gen_path(rng):
     assert fake["unc_vid"].shape == (2, 3, 8, 8, 3)
     dl, dm = losses.vid_discriminator_loss(disc, batch["vid"], fake["vid"], fake["z"], fake["unc_vid"])
     assert "dis_img_unc" in dm and np.isfinite(float(dl))
+
+
+def test_continuous_transformer(rng):
+    from ccvs_tpu.models.transformer import ContinuousTransformer
+    cfg = TransformerConfig(
+        z_num=16, z_len=24, z_chunk=8, num_blocks=2, n_layer=2, n_head=2,
+        n_embd=32, z_shape=(2, 2), emb_mode=None, is_continuous=True, n_in=8,
+    )
+    tr = ContinuousTransformer(cfg, dtype=jnp.float32)
+    params = tr.init(jax.random.PRNGKey(0), batch=2)
+    code = jnp.asarray(rng.randn(2, 24, 8).astype(np.float32))
+    loss, m = tr.loss(params, code)
+    assert np.isfinite(float(loss))
+    out = tr.generate(params, code[:, :8], total_len=16)
+    assert out.shape == (2, 16, 8)
+
+
+def test_finetune_head_optimizer(rng):
+    import dataclasses
+    from ccvs_tpu.train.steps import make_transformer_step
+    base = TransformerConfig(
+        z_num=16, z_len=16, z_chunk=8, num_blocks=2, n_layer=2, n_head=2,
+        n_embd=32, z_shape=(2, 4), emb_mode="temporal", lr=1e-2,
+    )
+    code = jnp.asarray(rng.randint(0, 16, (2, 16)))
+    for f in (None, 0.1):
+        cfg = dataclasses.replace(base, finetune_head=True, finetune_f=f)
+        tr = TokenTransformer(cfg, dtype=jnp.float32)
+        params = tr.init(jax.random.PRNGKey(0), batch=2)
+        init_state, step = make_transformer_step(tr, cfg, n_iter=10)
+        state = init_state(params)
+        p0 = jax.tree_util.tree_map(jnp.copy, state.params)
+        state, m = step(state, {"code": code})  # step 0 has lr 0 (warmup)
+        state, m = step(state, {"code": code})
+        head_moved = not np.allclose(np.asarray(p0["head"]["kernel"]),
+                                     np.asarray(state.params["head"]["kernel"]))
+        emb_moved = not np.allclose(np.asarray(p0["tok_emb"]["embedding"]),
+                                    np.asarray(state.params["tok_emb"]["embedding"]))
+        assert head_moved
+        assert emb_moved == (f is not None), (f, emb_moved)
