@@ -68,6 +68,11 @@ class DataConfig:
     distort_first: bool = False
     blur_first: Optional[Tuple[float, float]] = None
 
+    # folds (large datasets are indexed fold by fold, reference
+    # options.py:72-76)
+    num_folds_train: "Optional[int]" = None
+    init_fold_train: int = 0
+
     # state / audio
     load_state: bool = False
     categories: Optional[Tuple[str, ...]] = None

@@ -7,6 +7,6 @@ jit-compatible.
 """
 
 from ccvs_tpu.data.base import BaseVideoDataset, create_dataset, group_collate
-from ccvs_tpu.data.loader import PrefetchLoader
+from ccvs_tpu.data.loader import FoldCycler, PrefetchLoader
 
-__all__ = ["BaseVideoDataset", "create_dataset", "group_collate", "PrefetchLoader"]
+__all__ = ["BaseVideoDataset", "create_dataset", "group_collate", "PrefetchLoader", "FoldCycler"]

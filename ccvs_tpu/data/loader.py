@@ -72,3 +72,22 @@ class PrefetchLoader:
 def infinite(loader: PrefetchLoader) -> Iterator[dict]:
     while True:
         yield from loader
+
+
+class FoldCycler:
+    """Cycle through dataset folds, exhausting one fold's loader before
+    building the next (reference `frame_autoencoder_trainer.next_batch`,
+    `helpers/frame_autoencoder_trainer.py:23-44`: folds keep host memory
+    bounded for datasets too large to index at once)."""
+
+    def __init__(self, make_loader: Callable[[int], "PrefetchLoader"],
+                 num_folds: int, init_fold: int = 0):
+        self.make_loader = make_loader
+        self.num_folds = num_folds
+        self.fold = init_fold
+
+    def __iter__(self):
+        while True:
+            loader = self.make_loader(self.fold)
+            yield from loader
+            self.fold = (self.fold + 1) % self.num_folds

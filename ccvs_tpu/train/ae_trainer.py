@@ -72,13 +72,21 @@ class FrameAutoencoderTrainer:
         return gen, disc
 
     def make_loaders(self):
+        from ccvs_tpu.data import FoldCycler
+
         cfg = self.cfg
         group = cfg.data.n_consecutive_img + (1 if cfg.data.load_elastic_view else 0)
-        img_ds = create_dataset(cfg.data, phase="train", load_vid=False)
-        img_loader = PrefetchLoader(
-            img_ds, max(1, cfg.data.batch_size_img // group),
-            num_workers=cfg.data.num_workers, seed=cfg.seed,
-        )
+        bs_img = max(1, cfg.data.batch_size_img // group)
+
+        def make_img_loader(fold=None):
+            ds = create_dataset(cfg.data, phase="train", load_vid=False, fold=fold)
+            return PrefetchLoader(ds, bs_img, num_workers=cfg.data.num_workers, seed=cfg.seed)
+
+        if cfg.data.num_folds_train:
+            img_loader = FoldCycler(make_img_loader, cfg.data.num_folds_train,
+                                    cfg.data.init_fold_train)
+        else:
+            img_loader = make_img_loader()
         vid_loader = None
         if cfg.data.is_seq:
             import dataclasses

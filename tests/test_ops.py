@@ -223,3 +223,37 @@ def test_vq_pallas_matches_jnp(rng):
     zq, idx = vq_lookup_pallas(jnp.asarray(z), jnp.asarray(cb), interpret=True)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
     np.testing.assert_allclose(np.asarray(zq), np.asarray(zq_ref), rtol=1e-6)
+
+
+def test_misc_ops(rng):
+    from ccvs_tpu.ops.misc import (
+        bilinear_interpolate, contrastive_loss, nearest_interpolate, nll_vMF,
+        pixel_norm,
+    )
+
+    # vMF NLL finite + differentiable; matches scipy formula directly
+    pred = jnp.asarray(rng.randn(4, 8).astype(np.float32) * 3)
+    tgt = rng.randn(4, 8).astype(np.float32)
+    tgt = jnp.asarray(tgt / np.linalg.norm(tgt, axis=1, keepdims=True))
+    val = nll_vMF(pred, tgt)
+    assert np.isfinite(float(val))
+    from scipy import special
+    kappa = np.linalg.norm(np.asarray(pred), axis=1)
+    m = 8
+    log_c = (m / 2 - 1) * np.log(kappa) - (m / 2) * np.log(2 * np.pi) - (
+        np.log(special.ive(m / 2 - 1, kappa)) + kappa
+    )
+    want = np.mean(-log_c - np.sum(np.asarray(pred) * np.asarray(tgt), axis=1))
+    np.testing.assert_allclose(float(val), want, rtol=1e-4)
+    g = jax.grad(lambda p: nll_vMF(p, tgt))(pred)
+    assert np.isfinite(np.asarray(g)).all()
+
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    assert bilinear_interpolate(x).shape == (2, 16, 16, 4)
+    assert nearest_interpolate(x).shape == (2, 16, 16, 4)
+    pn = pixel_norm(x)
+    np.testing.assert_allclose(
+        np.mean(np.asarray(pn) ** 2, axis=-1), np.ones((2, 8, 8)), rtol=1e-4
+    )
+    cl = contrastive_loss(x, x + 0.01)
+    assert np.isfinite(float(cl))
