@@ -97,8 +97,34 @@ def run_tiny_multichip_step(mesh: Mesh) -> None:
     tstate, tm = t_step(tstate, {"code": code})
     jax.block_until_ready(tstate)
     assert np.isfinite(float(tm["nll"]))
+
+    # dp x tp: re-run the transformer step with Megatron-style head/MLP
+    # sharding over a 2-way 'model' axis when the device count allows
+    nll_tp = None
+    n_total = n_data
+    if n_total % 2 == 0 and n_total >= 4:
+        from ccvs_tpu.parallel.mesh import make_mesh
+        from ccvs_tpu.parallel.tp import shard_gpt_params
+
+        mesh_tp = make_mesh(n_total, model_parallel=2)
+        repl_tp = NamedSharding(mesh_tp, P())
+        params_tp = shard_gpt_params(mesh_tp, params)
+        tstate_tp = init_t(params_tp)
+        tstate_tp = tstate_tp.replace(
+            step=jax.device_put(tstate_tp.step, repl_tp)
+        )
+        code_tp = jax.device_put(
+            jax.random.randint(key, (mesh_tp.shape["data"] * 2, gpt_cfg.z_len), 0, gpt_cfg.z_num),
+            NamedSharding(mesh_tp, P("data")),
+        )
+        tstate_tp, tm_tp = t_step(tstate_tp, {"code": code_tp})
+        jax.block_until_ready(tstate_tp)
+        nll_tp = float(tm_tp["nll"])
+        assert np.isfinite(nll_tp)
+
     print(
         f"dryrun_multichip ok: mesh={dict(mesh.shape)} "
         f"g={float(gm['g_loss']):.3f} d={float(dm['d_loss']):.3f} "
         f"gv={float(gmv['g_loss']):.3f} nll={float(tm['nll']):.3f}"
+        + (f" nll_dpxtp={nll_tp:.3f} (tp=2)" if nll_tp is not None else "")
     )
