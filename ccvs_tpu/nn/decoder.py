@@ -31,18 +31,21 @@ from ccvs_tpu.ops.fused_act import leaky_relu
 
 
 class GroupedUpsample(nn.Module):
-    """Per-channel 2x transposed-conv upsampler (reference
-    `skip_autoencoder.py:153-168`: ConvTranspose2d(k=4, s=2, p=1, groups=C))."""
+    """Grouped 2x transposed-conv upsampler (reference
+    `skip_autoencoder.py:153-168`: ConvTranspose2d(k=4, s=2, p=1, groups=C);
+    the tradeoff upsampler maps 32 -> feat_size with 32 groups)."""
 
     channels: int
+    out_channels: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        out_ch = self.out_channels or self.channels
         w = self.param(
             "weight",
             nn.initializers.normal(stddev=0.02),
-            (self.channels, 1, 4, 4),
+            (self.channels, out_ch // self.channels, 4, 4),
             jnp.float32,
         )
         return conv_transpose2d(
@@ -70,12 +73,34 @@ class Matching(nn.Module):
         if flow is not None:
             flow = GroupedUpsample(2, dtype=self.dtype, name="upsample_flow")(flow)
             occ = GroupedUpsample(1, dtype=self.dtype, name="upsample_occ")(occ)
-            inter = backwarp(inter, flow * self.flow_mult)
+            if cfg.use_deformed_conv:
+                # learnable flow-offset deformable conv instead of plain warp
+                # (`skip_autoencoder.py:158-159,183-185`)
+                from ccvs_tpu.ops.deform import deform_conv3x3
+
+                dw = self.param(
+                    "deform_weight",
+                    nn.initializers.normal(stddev=(2.0 / (self.feat_size * 9)) ** 0.5),
+                    (self.feat_size, self.feat_size, 3, 3),
+                    jnp.float32,
+                )
+                db = self.param("deform_bias", nn.initializers.zeros,
+                                (self.feat_size,), jnp.float32)
+                inter = deform_conv3x3(
+                    inter, flow * self.flow_mult, dw.astype(inter.dtype),
+                    db.astype(inter.dtype),
+                )
+            else:
+                inter = backwarp(inter, flow * self.flow_mult)
             if cfg.use_masked_flow:
                 inter = inter * (1.0 - jax.nn.sigmoid(occ))
             if cfg.use_tradeoff:
-                toff = GroupedUpsample(32, dtype=self.dtype, name="upsample_toff")(toff)
+                toff = GroupedUpsample(
+                    32, out_channels=self.feat_size, dtype=self.dtype,
+                    name="upsample_toff",
+                )(toff)
                 inter = inter + toff
+            if cfg.use_deformed_conv or cfg.use_tradeoff:
                 inter = leaky_relu(inter, 0.1)
 
         if use_corr:

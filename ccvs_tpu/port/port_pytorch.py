@@ -248,3 +248,56 @@ def port_autoencoder(cfg: AutoencoderConfig, sds: Dict[str, Dict[str, np.ndarray
         "quantizer": port_quantizer(sds["qvid_q"]),
         "decoder": port_decoder(cfg, sds["qvid_g"]),
     }
+
+
+# ---------------- checkpoint-transfer transforms ----------------
+
+
+def apply_block_delta(sd: Dict[str, np.ndarray], delta: int) -> Dict[str, np.ndarray]:
+    """Shift `blocks.{i}` / `inter_blocks.{i}` indices by ``delta``.
+
+    Port of `load_state_dict(block_delta=...)` (`models/__init__.py:28-42`):
+    lets checkpoints trained at one resolution initialize a model with more /
+    fewer resolution levels (keys that shift out of range are dropped by the
+    structural port).
+    """
+    import re
+
+    out = {}
+    for k, v in sd.items():
+        m = re.match(r"^(blocks|inter_blocks)\.(\d+)\.(.*)$", k)
+        if m:
+            out[f"{m.group(1)}.{int(m.group(2)) + delta}.{m.group(3)}"] = v
+        else:
+            out[k] = v
+    return out
+
+
+def apply_head_to_n(sd: Dict[str, np.ndarray], n: int) -> Dict[str, np.ndarray]:
+    """Expand a 1-proposal CGPT head to ``n`` proposals.
+
+    Port of `load_state_dict(head_to_n=...)` (`models/__init__.py:99-107`):
+    the head weight (n_in, D) is tiled n times plus a zero logits row per
+    proposal, matching the (n_proposals*(n_in)+n_logits, D) layout.
+    """
+    out = dict(sd)
+    w = sd["head.weight"]  # (n_in, D)
+    n_in, d = w.shape
+    rows = [w for _ in range(n)]
+    logits = np.zeros((n, d), w.dtype)
+    out["head.weight"] = np.concatenate(rows + [logits], axis=0)
+    return out
+
+
+def prune_mismatched(sd: Dict[str, np.ndarray], target_shapes: Dict[str, tuple],
+                     verbose: bool = True) -> Dict[str, np.ndarray]:
+    """Non-strict loading: drop keys whose shapes mismatch
+    (`models/__init__.py:44-59`)."""
+    out = {}
+    for k, v in sd.items():
+        if k in target_shapes and tuple(v.shape) != tuple(target_shapes[k]):
+            if verbose:
+                print(f"prune {k}: {v.shape} != {target_shapes[k]}")
+            continue
+        out[k] = v
+    return out

@@ -229,3 +229,40 @@ def test_state_and_stft(rng):
     pd = dec.init(jax.random.PRNGKey(1), lat)
     rec = dec.apply(pd, lat)
     assert rec.shape == (2, 64, 16, 1)
+
+
+def test_decoder_option_variants(rng):
+    """use_masked_flow / use_tradeoff / use_deformed_conv decoder variants."""
+    import dataclasses
+    for kw in ({"use_masked_flow": True},
+               # tradeoff's grouped upsampler needs feat sizes divisible by 32
+               # (true of all shipped configs, e.g. BAIR 96..384)
+               {"use_tradeoff": True, "necf": 64, "inter_p": 0.5},
+               {"use_deformed_conv": True}, {"no_corr": True}, {"no_proj": True}):
+        cfg = dataclasses.replace(AE, **kw)
+        enc = SkipEncoder(cfg)
+        dec = SkipDecoder(cfg)
+        x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+        ep = enc.init(jax.random.PRNGKey(0), x)
+        z, inters = enc.apply(ep, x)
+        dp = dec.init(jax.random.PRNGKey(1), z, [inters])
+        rgb, _ = dec.apply(dp, z, [inters])
+        assert rgb.shape == (1, 32, 32, 3), kw
+        assert np.isfinite(np.asarray(rgb)).all(), kw
+
+
+def test_deform_conv_matches_torchvision_semantics(rng):
+    """deform_conv3x3 with zero flow equals a plain 3x3 conv."""
+    from ccvs_tpu.ops.deform import deform_conv3x3
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.randn(1, 8, 8, 4).astype(np.float32)
+    w = rng.randn(4, 4, 3, 3).astype(np.float32)
+    b = rng.randn(4).astype(np.float32)
+    zero_flow = jnp.zeros((1, 8, 8, 2), jnp.float32)
+    got = deform_conv3x3(jnp.asarray(x), zero_flow, jnp.asarray(w), jnp.asarray(b))
+    want = F.conv2d(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+                    torch.from_numpy(w), torch.from_numpy(b), padding=1).numpy()
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)), want,
+                               rtol=1e-4, atol=1e-4)
