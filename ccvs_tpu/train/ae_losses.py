@@ -283,6 +283,25 @@ class AELosses:
             loss += quant_loss
             metrics["quant_vid"] = quant_loss
 
+        # layout twins: merged inters + concatenated latents
+        # (`quantized_video_model.py:490-520`)
+        real_layout = batch.get("layout")
+        use_layout = cfg.use_layout and cfg.same_decoder_layout and real_layout is not None
+        if use_layout:
+            soft = ae.one_hot_layout(real_layout)
+            zl, inter_encl = ae.encoder_l.apply(
+                {"params": gen["encoder_l"]}, soft.astype(ae.dtype)
+            )
+            zl_q, lql, _ = ae.quantizer_l.apply(
+                {"params": gen["quantizer_l"]}, zl.astype(jnp.float32)
+            )
+            lql = lql * cfg.lambda_quant
+            if not cfg.no_q_img:
+                loss += lql
+                metrics["layout_quant_vid"] = lql
+            inter_enc = FrameAutoencoder.merge_layout_inters(inter_enc, inter_encl)
+            z_q = jnp.concatenate([z_q, zl_q], axis=-1)
+
         delta = 1 if cfg.p2p_context else 0
         # rolling context: python loop (vid_len is small at training: 4)
         inters = []
@@ -290,15 +309,24 @@ class AELosses:
             inters.append([f[:, -1] for f in inter_enc])
         inters.append([f[:, 0] for f in inter_enc])
         fakes = [real_vid[:, 0]]
+        fake_layouts = []
         curr = 1
         for i in range(1, cfg.vid_len - delta):
             inter_tgts = [inters[-dt] for dt in cfg.skip_context if dt <= curr]
-            fake_img, _ = ae.decoder.apply(
+            fake_img, fake_layout_img = ae.decoder.apply(
                 {"params": gen["decoder"]}, z_q[:, i].astype(ae.dtype), inter_tgts
             )
             _, new_inter = ae.encoder.apply(
                 {"params": gen["encoder"]}, fake_img
             )
+            if use_layout:
+                # re-encode the layout logits as soft layout
+                # (`quantized_video_model.py:538-543`)
+                fake_layouts.append(fake_layout_img.astype(jnp.float32))
+                _, new_interl = ae.encoder_l.apply(
+                    {"params": gen["encoder_l"]}, fake_layout_img
+                )
+                new_inter = FrameAutoencoder.merge_layout_inters(new_inter, new_interl)
             if len(inters) >= cfg.skip_memory:
                 inters.pop(delta)
             else:
@@ -313,6 +341,14 @@ class AELosses:
 
         real_flat = real_vid[:, 1:].reshape(-1, *real_vid.shape[2:]).astype(jnp.float32)
         fake_flat = fake_vid[:, 1:].reshape(-1, *fake_vid.shape[2:])
+
+        if use_layout and fake_layouts:
+            fl = jnp.stack(fake_layouts, axis=1)  # (B, T-1, H, W, n_cls)
+            rl = real_layout[:, 1 : fl.shape[1] + 1]
+            logp = jax.nn.log_softmax(fl, axis=-1)
+            lce = -jnp.mean(jnp.take_along_axis(logp, rl[..., None].astype(jnp.int32), axis=-1))
+            loss += lce
+            metrics["layout_vid"] = lce
 
         rec = jnp.mean(jnp.abs(real_flat - fake_flat))
         metrics["rec_vid"] = rec

@@ -287,3 +287,25 @@ def test_finetune_head_optimizer(rng):
                                     np.asarray(state.params["tok_emb"]["embedding"]))
         assert head_moved
         assert emb_moved == (f is not None), (f, emb_moved)
+
+
+def test_layout_vid_rollout(rng):
+    """same_decoder_layout video rollout: merged inters + layout CE."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        AE_CFG, use_layout=True, layout_size=5, same_decoder_layout=True,
+        use_di=False, use_dv=False, load_elastic_view=False,
+        elastic_corruption=False, use_elastic_flow_recovery=False,
+        slide_inter=False, n_consecutive_img=1,
+    )
+    ae = FrameAutoencoder(cfg, dtype=jnp.float32)
+    losses = AELosses(cfg, ae)
+    gen = ae.init(jax.random.PRNGKey(0))
+    batch = {
+        "vid": jnp.asarray(rng.randn(2, 3, 8, 8, 3).astype(np.float32) * 0.2),
+        "layout": jnp.asarray(rng.randint(0, 5, (2, 3, 8, 8))),
+    }
+    loss, (m, fake) = losses.vid_generator_loss(gen, None, None, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert "layout_vid" in m and "layout_quant_vid" in m
+    assert fake["vid"].shape == (2, 3, 8, 8, 3)
