@@ -231,12 +231,36 @@ class FrameAutoencoder:
 
     # ---------------- video decode (doubly-AR rollout) ----------------
 
-    def _decode_step_fn(self, params, fifo, curr, z_t, cond_inter=None):
-        """One rollout step: decode frame, refresh context, push FIFO."""
+    @staticmethod
+    def _bucket(k: int, m: int) -> int:
+        """Smallest of {2, 4, 8, m} >= k (static context-count buckets)."""
+        for b in (2, 4, 8):
+            if k <= b <= m:
+                return b
+        return m
+
+    def _decode_step_fn(self, params, fifo, curr, z_t, cond_inter=None, kb=None):
+        """One rollout step: decode frame, refresh context, push FIFO.
+
+        ``kb``: static number of FIFO slots actually fed to the decoder. Early
+        frames have few valid contexts, but masked slots still cost full
+        InterBlock compute — slicing to the last ``kb`` slots saves ~1/3 of a
+        16-frame rollout's decode FLOPs with identical results (invalid slots
+        contribute zero weight either way).
+        """
         cfg = self.cfg
-        mask = self.fifo_mask(z_t.shape[0], curr)
+        m = fifo[0].shape[1]
+        kb = kb or m
+        b = z_t.shape[0]
+        fifo_k = [f[:, m - kb:] for f in fifo] if kb < m else fifo
+        # slot s of the slice <-> dt = kb - s
+        dts = kb - jnp.arange(kb)
+        member = jnp.asarray(
+            [(int(dt) in cfg.skip_context) for dt in range(kb, 0, -1)], jnp.float32
+        )
+        mask = jnp.tile(((dts <= curr).astype(jnp.float32) * member)[None], (b, 1))
         rgb, inter_dec = self.decode_frame(
-            params, z_t, fifo, mask, has_ctx=True, inter_pre_warping=False,
+            params, z_t, fifo_k, mask, has_ctx=True, inter_pre_warping=False,
             extra_ctx=cond_inter,
         )
         if cfg.skip_mode == "enc":
@@ -248,7 +272,9 @@ class FrameAutoencoder:
 
     def _get_jit_step(self):
         if not hasattr(self, "_jit_step_cache"):
-            self._jit_step_cache = jax.jit(self._decode_step_fn)
+            self._jit_step_cache = jax.jit(
+                self._decode_step_fn, static_argnames=("kb",)
+            )
         return self._jit_step_cache
 
     def decode_video(self, params, codes, ctx_frames=None, n_ctx=1, cond_inter=None,
@@ -315,7 +341,11 @@ class FrameAutoencoder:
             outs = []
             curr = jnp.asarray(n_ctx, jnp.int32)
             for i in range(t - n_ctx):
-                fifo, rgb = jstep(params, fifo, curr, z_gen[i], cond_inter)
+                # static context count this frame -> bucketed FIFO slice
+                kb = self._bucket(min(n_ctx + i, m), m)
+                if cond_inter is not None:
+                    kb = m  # keep full-slot program when an extra ctx rides along
+                fifo, rgb = jstep(params, fifo, curr, z_gen[i], cond_inter, kb=kb)
                 outs.append(rgb)
                 curr = curr + 1
             frames = jnp.stack(outs, axis=0)

@@ -222,3 +222,21 @@ def test_generate_deblurring(rng):
     out = gen.generate(params, jax.random.PRNGKey(1), vid, rec=False)
     assert out["fake"].shape == (1, 2, 8, 8, 3)
     assert "blur" in out
+
+
+def test_decode_video_bucketing_invariance(rng):
+    """Bucketed context slicing must not change the rollout output."""
+    ae, tr, params = _models()
+    vid = jnp.asarray(rng.randn(2, 4, 8, 8, 3).astype(np.float32)) * 0.1
+    enc = ae.encode(params["ae"], vid)
+    out_bucketed = ae.decode_video(params["ae"], enc["code"], ctx_frames=vid[:, :1], n_ctx=1)
+    # force full-slot programs by monkeypatching the bucket fn
+    orig = type(ae)._bucket
+    try:
+        type(ae)._bucket = staticmethod(lambda k, m: m)
+        ae2 = type(ae)(ae.cfg, dtype=jnp.float32)
+        out_full = ae2.decode_video(params["ae"], enc["code"], ctx_frames=vid[:, :1], n_ctx=1)
+    finally:
+        type(ae)._bucket = orig
+    np.testing.assert_allclose(np.asarray(out_bucketed), np.asarray(out_full),
+                               rtol=1e-4, atol=1e-5)
