@@ -83,6 +83,8 @@ def main(argv=None):
         p.add_argument("--i3d-npz", default=None)
         p.add_argument("--vgg-npz", default=None)
         p.add_argument("--chunk", type=int, default=256)
+        p.add_argument("--idx", type=int, default=None,
+                       help="per-timestep metrics (reference --idx)")
 
     args = parser.parse_args(argv)
 
@@ -131,7 +133,8 @@ def main(argv=None):
         real = _load_dir(args.real, unit=True)
         fake = _load_dir(args.fake, unit=True)
         n = min(len(real), len(fake))
-        print(json.dumps(video_metrics(real[:n], fake[:n], vgg_npz=args.vgg_npz)))
+        print(json.dumps(video_metrics(real[:n], fake[:n], per_timestep=args.idx,
+                                       vgg_npz=args.vgg_npz)))
 
 
 def _load_dir(path, unit=False):

@@ -257,3 +257,20 @@ def test_misc_ops(rng):
     )
     cl = contrastive_loss(x, x + 0.01)
     assert np.isfinite(float(cl))
+
+
+def test_flash_decode_attention_interpret(rng):
+    """Pallas flash-decode (interpret mode) matches the einsum reference."""
+    from ccvs_tpu.ops.attention_pallas import flash_decode_attention
+
+    B, NH, L, HD = 2, 4, 128, 64
+    q = jnp.asarray(rng.randn(B, NH, HD).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, NH, L, HD).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, NH, L, HD).astype(np.float32))
+    pos = 57
+    out = flash_decode_attention(q, k, v, pos, interpret=True)
+    att = jnp.einsum("bhd,bhld->bhl", q, k) / (HD**0.5)
+    mask = jnp.arange(L) <= pos
+    att = jax.nn.softmax(jnp.where(mask[None, None], att, -1e9), axis=-1)
+    ref = jnp.einsum("bhl,bhld->bhd", att, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
