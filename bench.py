@@ -60,10 +60,12 @@ def main():
     run(jax.random.PRNGKey(2))
 
     iters = 3
-    t0 = time.perf_counter()
+    times = []
     for i in range(iters):
+        t0 = time.perf_counter()
         run(jax.random.PRNGKey(3 + i))
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    dt = min(times)  # min-of-N: the tunneled chip shows large timing noise
 
     frames = BATCH * (VID_LEN - N_CTX)  # synthesized frames per run
     fps = frames / dt
