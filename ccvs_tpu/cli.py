@@ -32,6 +32,13 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--vgg-npz", default=None, help="vendored VGG19 weights")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(coordinator from env, e.g. a TPU pod slice)")
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="mesh size (default: all visible devices)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="tensor-parallel degree of the mesh 'model' axis")
 
 
 def _config(args):
@@ -47,6 +54,19 @@ def _config(args):
     if args.dataroot:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, dataroot=args.dataroot))
     return cfg
+
+
+def _mesh(args):
+    """Build the training mesh from CLI flags; the stand-in for the reference
+    Engine's NCCL/SLURM bootstrap (`tools/engine.py:24-57`). Multi-host init
+    happens once, before any device query."""
+    import jax
+
+    if getattr(args, "distributed", False):
+        jax.distributed.initialize()
+    from ccvs_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(args.n_devices, model_parallel=args.model_parallel)
 
 
 def _load_ae_params(args, cfg):
@@ -75,6 +95,9 @@ def main(argv=None):
             p.add_argument("--stft-ckpt", default=None)
             p.add_argument("--n-batches", type=int, default=640)
             p.add_argument("--rec-only", action="store_true")
+            p.add_argument("--keep-state", action="store_true",
+                           help="condition on the true state stream instead of "
+                                "sampling it (reference --keep_state)")
 
     for task in ("eval-fvd", "eval-metrics"):
         p = sub.add_parser(task)
@@ -92,27 +115,28 @@ def main(argv=None):
         from ccvs_tpu.train.ae_trainer import FrameAutoencoderTrainer
 
         cfg = _config(args)
-        FrameAutoencoderTrainer(cfg, vgg_npz=args.vgg_npz).run(resume=args.resume)
+        FrameAutoencoderTrainer(cfg, vgg_npz=args.vgg_npz, mesh=_mesh(args)).run(
+            resume=args.resume)
 
     elif args.task == "train-transformer":
         from ccvs_tpu.train.transformer_trainer import TransformerTrainer
 
         cfg = _config(args)
         ae_params = _load_ae_params(args, cfg)
-        TransformerTrainer(cfg, ae_params).run(resume=args.resume)
+        TransformerTrainer(cfg, ae_params, mesh=_mesh(args)).run(resume=args.resume)
 
     elif args.task == "train-state":
         from ccvs_tpu.train.state_trainer import StateEstimatorTrainer
 
         cfg = _config(args)
         ae_params = _load_ae_params(args, cfg)
-        StateEstimatorTrainer(cfg, ae_params).run()
+        StateEstimatorTrainer(cfg, ae_params, mesh=_mesh(args)).run()
 
     elif args.task == "train-stft":
         from ccvs_tpu.train.state_trainer import StftAutoencoderTrainer
 
         cfg = _config(args)
-        StftAutoencoderTrainer(cfg).run()
+        StftAutoencoderTrainer(cfg, mesh=_mesh(args)).run()
 
     elif args.task == "generate":
         _generate(args)
@@ -186,7 +210,8 @@ def _generate(args):
         vid = jnp.asarray(batch["vid"])
         rng, sub = jax.random.split(rng)
         out = gen.generate(params, sub, vid, stft=batch.get("stft"),
-                           vid_lbl=batch.get("vid_lbl"), rec=not args.rec_only)
+                           vid_lbl=batch.get("vid_lbl"), rec=not args.rec_only,
+                           keep_state=args.keep_state)
         gen.save_batch(result_path, i, cfg.data.batch_size_vid, vid, out,
                        fps=cfg.data.fps, imagenet_norm=cfg.data.imagenet_norm,
                        dataset=cfg.data.dataset)

@@ -77,6 +77,11 @@ class DataConfig:
     load_state: bool = False
     categories: Optional[Tuple[str, ...]] = None
 
+    # layout twins: load per-frame segmentations alongside frames (reference
+    # keys off `vid_layout_paths` in the dataset metadata,
+    # `base_dataset.py:245-273`; this flag drives the synthetic dataset)
+    load_layout: bool = False
+
     num_workers: int = 8
 
     @property
@@ -467,6 +472,19 @@ def kinetics_config() -> Config:
     )
 
 
+def kinetics_p2p_config() -> Config:
+    """Point-to-point kinetics (reference scripts/kinetics/save_videos_p2p.sh:
+    --x_p2p --p2p_len 16 --x_z_len 1024 --x_z_chunk 64)."""
+    c = kinetics_config()
+    return c.replace(
+        name="kinetics600_p2p",
+        gpt=dataclasses.replace(
+            c.gpt, p2p=True, z_len=1024, num_blocks=16, cond_len=64
+        ),
+        data=dataclasses.replace(c.data, p2p_len=16),
+    )
+
+
 def ucf101_config() -> Config:
     """UCF-101 256x256 prediction (scripts/ucf101/*.sh)."""
     c = bairhd_config("ucf101")
@@ -528,6 +546,7 @@ PRESETS = {
     "bairhd_p2p": bairhd_p2p_config,
     "bairhd_unc": bairhd_unc_config,
     "kinetics600": kinetics_config,
+    "kinetics600_p2p": kinetics_p2p_config,
     "ucf101": ucf101_config,
     "drums": drums_config,
 }

@@ -48,6 +48,15 @@ def load_frame(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"), np.uint8)
 
 
+def load_seg(path: str) -> np.ndarray:
+    """Palette/gray segmentation PNG -> (H, W) int class ids
+    (reference `load_seg_path`, `base_dataset.py:197-199`)."""
+    im = Image.open(path)
+    if im.mode not in ("P", "L", "I"):
+        im = im.convert("L")
+    return np.asarray(im, np.int64)
+
+
 def load_video_file(path: str) -> np.ndarray:
     """(T, H, W, 3) uint8 from .avi (MJPEG) / .npz / .npy."""
     if path.endswith(".avi") or path.endswith(".mp4"):
@@ -107,17 +116,20 @@ class BaseVideoDataset:
             top, left = rng.rand(), rng.rand()
         return {"h_flip": h_flip, "v_flip": v_flip, "zoom": zoom, "top": top, "left": left}
 
-    def _transform(self, img: np.ndarray, p, dim: Optional[int] = None) -> np.ndarray:
+    def _transform(self, img: np.ndarray, p, dim: Optional[int] = None,
+                   is_seg: bool = False) -> np.ndarray:
         """uint8 HWC -> float32 [-1,1] (or imagenet), resized to training dim
-        (reference `get_transform`, `base_dataset.py:341-386`)."""
+        (reference `get_transform`, `base_dataset.py:341-386`). With
+        ``is_seg``, nearest resampling and raw int64 class ids out."""
         cfg = self.cfg
         dim = dim or cfg.max_dim
-        im = Image.fromarray(img)
+        im = Image.fromarray(img.astype(np.uint8) if is_seg else img)
+        method = Image.NEAREST if is_seg else Image.BILINEAR
         if cfg.resize_center_crop_img:
             s = cfg.resize_center_crop_img
             w, h = im.size
             scale = s / min(w, h)
-            im = im.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
+            im = im.resize((round(w * scale), round(h * scale)), method)
             w, h = im.size
             l, t = (w - s) // 2, (h - s) // 2
             im = im.crop((l, t, l + s, t + s))
@@ -130,11 +142,13 @@ class BaseVideoDataset:
         w, h = im.size
         tgt_w = int(dim * cfg.aspect_ratio)
         if (w, h) != (tgt_w, dim):
-            im = im.resize((tgt_w, dim), Image.BILINEAR)
+            im = im.resize((tgt_w, dim), method)
         if p["h_flip"]:
             im = im.transpose(Image.FLIP_LEFT_RIGHT)
         if p["v_flip"]:
             im = im.transpose(Image.FLIP_TOP_BOTTOM)
+        if is_seg:
+            return np.asarray(im, np.int64)
         x = np.asarray(im, np.float32) / 255.0
         if cfg.imagenet_norm:
             return (x - _IMAGENET_MEAN) / _IMAGENET_STD
@@ -150,8 +164,13 @@ class BaseVideoDataset:
 
         if self.load_vid:
             frames, extra = self._load_clip(index, rng)
+            lay_frames = extra.pop("_layout_frames", None)
             out.update(extra)
             out["vid"] = np.stack([self._transform(f, p) for f in frames])
+            if lay_frames is not None:
+                out["layout"] = np.stack(
+                    [self._transform(l, p, is_seg=True) for l in lay_frames]
+                )  # (T, H, W), `base_dataset.py:270-273`
         else:
             out.update(self._load_img_group(index, rng, p))
         return out
@@ -211,6 +230,12 @@ class BaseVideoDataset:
                 idxs, delta = self._p2p_select(idxs, rng)
                 extra["delta_length"] = np.asarray(delta, np.int32)
             frames = [load_frame(paths[i]) for i in idxs]
+            if "vid_layout_paths" in self.data:
+                # per-frame segmentations with the same clip indices
+                # (`base_dataset.py:245-273`); transform applied by the caller
+                lp = self.data["vid_layout_paths"][index]
+                lp = lp[i0 : i0 + n_load * cfg.one_every_n : cfg.one_every_n]
+                extra["_layout_frames"] = [load_seg(lp[i]) for i in idxs]
             if "vid_frame_states" in self.data and cfg.load_vid_len is None and cfg.p2p_len is None:
                 st = np.asarray(self.data["vid_frame_states"][index], np.float32)
                 extra["state"] = st[i0 : i0 + cfg.vid_len * cfg.one_every_n : cfg.one_every_n]
@@ -221,6 +246,7 @@ class BaseVideoDataset:
         (`base_dataset.py:287-328`)."""
         cfg = self.cfg
         out = {}
+        raw_lay = None
         n = cfg.n_consecutive_img
         if self.from_vid:
             vid = load_video_file(self.data["vid_paths"][index])
@@ -232,22 +258,37 @@ class BaseVideoDataset:
             window = paths[i0 : i0 + cfg.img_out_of_n]
             img_idx = rng.choice(cfg.img_out_of_n, size=n, replace=False)
             raw = [load_frame(window[i]) for i in img_idx]
+            if "vid_layout_paths" in self.data:
+                lwin = self.data["vid_layout_paths"][index][i0 : i0 + cfg.img_out_of_n]
+                raw_lay = [load_seg(lwin[i]) for i in img_idx]
         else:
             raw = [load_frame(self.data["frame_paths"][index])]
             if "frame_states" in self.data:
                 out["state"] = np.asarray(self.data["frame_states"][index], np.float32)
 
         imgs = [self._transform(f, p) for f in raw]
+        lays = [self._transform(l, p, is_seg=True) for l in raw_lay] if raw_lay is not None else None
         if cfg.load_elastic_view:
             # frame 0 is replaced by its elastic context view; a distorted
             # view is appended (reference `base_dataset.py:305-315`)
             full = self._transform(raw[0], p, dim=raw[0].shape[0])
-            ctx, dist, flow, mask = get_augmentation(full, cfg.max_dim, self.elastic, rng)
+            full_lay = (
+                self._transform(raw_lay[0], p, dim=raw[0].shape[0], is_seg=True)
+                if raw_lay is not None else None
+            )
+            aug = get_augmentation(full, cfg.max_dim, self.elastic, rng, layout=full_lay)
+            ctx, dist, flow, mask = aug[:4]
             imgs[0] = ctx
             imgs.append(dist)
             out["flow_img"] = flow
             out["mask_img"] = mask
+            if lays is not None:
+                # same elastic views for the layout (`base_dataset.py:313-315`)
+                lays[0] = aug[4]
+                lays.append(aug[5])
         out["img"] = np.stack(imgs) if len(imgs) > 1 else imgs[0]
+        if lays is not None:
+            out["layout"] = np.stack(lays)[:, None]  # (G, 1, H, W)
         if "vid_labels" in self.data:
             out["vid_lbl"] = np.asarray(self.data["vid_labels"][index], np.int32)
         return out
@@ -349,27 +390,36 @@ class SyntheticDataset(BaseVideoDataset):
         super().__init__(cfg, phase, from_vid, load_vid, fold)
         self.size = n_videos
 
-    def _frames(self, index):
+    def _frames(self, index, with_layouts=False):
         cfg = self.cfg
         d = cfg.true_dim
         rng = np.random.RandomState(index)
         x0, y0 = rng.randint(0, d - 16, 2)
         vx, vy = rng.randint(-3, 4, 2)
         color = rng.randint(64, 255, 3)
-        frames = []
+        frames, layouts = [], []
         for t in range(self.n_frames):
             f = np.full((d, d, 3), 32, np.uint8)
             x = int(np.clip(x0 + vx * t, 0, d - 16))
             y = int(np.clip(y0 + vy * t, 0, d - 16))
             f[y : y + 16, x : x + 16] = color
             frames.append(f)
-        return frames
+            if with_layouts:
+                l = np.zeros((d, d), np.int64)
+                l[y : y + 16, x : x + 16] = 1
+                layouts.append(l)
+        return (frames, layouts) if with_layouts else frames
 
     def __getitem__(self, index):
         rng = np.random.RandomState(index + (0 if self.phase != "train" else random.randrange(2**31)))
         p = self._aug_params(rng)
         cfg = self.cfg
-        frames = self._frames(index % self.n_videos)
+        with_lay = cfg.load_layout
+        if with_lay:
+            frames, layouts = self._frames(index % self.n_videos, with_layouts=True)
+        else:
+            frames = self._frames(index % self.n_videos)
+            layouts = None
         out = {}
         if self.load_vid:
             idxs = self._subsample(len(frames), rng)
@@ -377,21 +427,40 @@ class SyntheticDataset(BaseVideoDataset):
                 idxs, delta = self._p2p_select(idxs, rng)
                 out["delta_length"] = np.asarray(delta, np.int32)
             out["vid"] = np.stack([self._transform(frames[i], p) for i in idxs])
+            if layouts is not None:
+                out["layout"] = np.stack(
+                    [self._transform(layouts[i], p, is_seg=True) for i in idxs]
+                )
         else:
             n = cfg.n_consecutive_img
             sel = rng.choice(min(cfg.img_out_of_n, len(frames)), size=n, replace=False)
             raw = [frames[i] for i in sel]
             imgs = [self._transform(f, p) for f in raw]
+            raw_lay = [layouts[i] for i in sel] if layouts is not None else None
+            lays = (
+                [self._transform(l, p, is_seg=True) for l in raw_lay]
+                if raw_lay is not None else None
+            )
             if cfg.load_elastic_view:
                 full = self._transform(raw[0], p, dim=raw[0].shape[0])
+                full_lay = (
+                    self._transform(raw_lay[0], p, dim=raw[0].shape[0], is_seg=True)
+                    if raw_lay is not None else None
+                )
                 from ccvs_tpu.data.elastic import get_augmentation
 
-                ctx, dist, flow, mask = get_augmentation(full, cfg.max_dim, self.elastic, rng)
+                aug = get_augmentation(full, cfg.max_dim, self.elastic, rng, layout=full_lay)
+                ctx, dist, flow, mask = aug[:4]
                 imgs[0] = ctx
                 imgs.append(dist)
                 out["flow_img"] = flow
                 out["mask_img"] = mask
+                if lays is not None:
+                    lays[0] = aug[4]
+                    lays.append(aug[5])
             out["img"] = np.stack(imgs) if len(imgs) > 1 else imgs[0]
+            if lays is not None:
+                out["layout"] = np.stack(lays)[:, None]  # (G, 1, H, W)
         return out
 
 

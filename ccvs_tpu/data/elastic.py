@@ -134,16 +134,20 @@ class ElasticParams:
     invert: bool = False  # distort_first
 
 
-def get_augmentation(img, dim, p: ElasticParams, rng=None):
+def get_augmentation(img, dim, p: ElasticParams, rng=None, layout=None):
     """Build (context_img, distorted_img, flow, mask) (`augmentations.py:34-179`).
 
     Args:
       img: (H, W, 3) float32 in [-1, 1] (full-resolution source frame).
       dim: target output height.
+      layout: optional (H, W) int segmentation aligned with ``img``; warped
+        with the same flows in nearest mode (`augmentations.py:107-128`) so
+        layout twins can train on elastic views.
     Returns:
       context (dim, W', 3), distorted (dim, W', 3), flow (dim, W', 2),
       mask (dim, W', 1) float {0,1} (empty-shape-compatible zeros when
-      corruption off).
+      corruption off). With ``layout``, two extra trailing elements:
+      context_layout, distorted_layout — (dim, W') int64.
     """
     rng = rng or np.random.RandomState()
     h, w = img.shape[:2]
@@ -183,22 +187,37 @@ def get_augmentation(img, dim, p: ElasticParams, rng=None):
             o_dx = np.tile(zdx[None, :], (h, 1))
             o_dy = np.tile(zdy[:, None], (1, w))
 
+    ctx_layout = dist_layout = None
+    lay = layout.astype(np.float32)[..., None] if layout is not None else None
     if p.invert:
         ctx_flow = np.stack([dx, dy], axis=-1)
         context = backwarp_np(img, ctx_flow)
         if o_dx is not None:
-            distorted = backwarp_np(img, np.stack([o_dx, o_dy], axis=-1))
+            o_flow = np.stack([o_dx, o_dy], axis=-1)
+            distorted = backwarp_np(img, o_flow)
         else:
             distorted = img.copy()
         flow = np.stack([i_dx, i_dy], axis=-1)
+        if lay is not None:  # same flows, nearest (`augmentations.py:110-119`)
+            ctx_layout = backwarp_np(lay, ctx_flow, mode="nearest")
+            dist_layout = (
+                backwarp_np(lay, o_flow, mode="nearest") if o_dx is not None else lay.copy()
+            )
     else:
-        distorted = backwarp_np(img, np.stack([dx, dy], axis=-1))
+        d_flow = np.stack([dx, dy], axis=-1)
+        distorted = backwarp_np(img, d_flow)
         if o_dx is not None:
-            context = backwarp_np(img, np.stack([o_dx, o_dy], axis=-1))
+            o_flow = np.stack([o_dx, o_dy], axis=-1)
+            context = backwarp_np(img, o_flow)
             flow = np.stack([dx - o_dx, dy - o_dy], axis=-1)
         else:
             context = img.copy()
-            flow = np.stack([dx, dy], axis=-1)
+            flow = d_flow
+        if lay is not None:  # (`augmentations.py:120-128`)
+            dist_layout = backwarp_np(lay, d_flow, mode="nearest")
+            ctx_layout = (
+                backwarp_np(lay, o_flow, mode="nearest") if o_dx is not None else lay.copy()
+            )
 
     # rescale to training dim
     f = None
@@ -207,6 +226,9 @@ def get_augmentation(img, dim, p: ElasticParams, rng=None):
         tgt = (dim, int(w * dim / h))
         context = _resize(context, tgt)
         distorted = _resize(distorted, tgt)
+        if lay is not None:  # nearest for segmentations (`augmentations.py:141-146`)
+            ctx_layout = _resize_nearest(ctx_layout, tgt)
+            dist_layout = _resize_nearest(dist_layout, tgt)
     else:
         tgt = (h, w)
 
@@ -232,12 +254,18 @@ def get_augmentation(img, dim, p: ElasticParams, rng=None):
     if f is not None:
         flow = _resize(flow * f, tgt)
 
-    return (
+    out = (
         context.astype(np.float32),
         distorted.astype(np.float32),
         flow.astype(np.float32),
         mask,
     )
+    if lay is not None:
+        out = out + (
+            ctx_layout[..., 0].astype(np.int64),
+            dist_layout[..., 0].astype(np.int64),
+        )
+    return out
 
 
 def _resize(img, tgt):
@@ -248,6 +276,21 @@ def _resize(img, tgt):
         np.asarray(
             Image.fromarray(img[..., c].astype(np.float32), mode="F").resize(
                 (tgt[1], tgt[0]), Image.BILINEAR
+            )
+        )
+        for c in range(img.shape[-1])
+    ]
+    return np.stack(chans, axis=-1)
+
+
+def _resize_nearest(img, tgt):
+    """Nearest resize (H, W, C) -> tgt (segmentation maps)."""
+    from PIL import Image
+
+    chans = [
+        np.asarray(
+            Image.fromarray(img[..., c].astype(np.float32), mode="F").resize(
+                (tgt[1], tgt[0]), Image.NEAREST
             )
         )
         for c in range(img.shape[-1])

@@ -48,14 +48,20 @@ class PrefetchLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(nb):
-                    if stop.is_set():
-                        return
-                    sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                    items = list(pool.map(self.dataset.__getitem__, sel))
-                    q.put(self.collate(items))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(nb):
+                        if stop.is_set():
+                            return
+                        sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                        items = list(pool.map(self.dataset.__getitem__, sel))
+                        q.put(self.collate(items))
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 — propagate to consumer
+                # Without this the consumer blocks on q.get() forever when a
+                # worker raises (torch DataLoader re-raises in the main
+                # process too).
+                q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -64,6 +70,8 @@ class PrefetchLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -277,6 +277,29 @@ class FrameAutoencoder:
             )
         return self._jit_step_cache
 
+    def _scan_segment_fn(self, params, fifo, curr0, z_seg, cond_inter=None, kb=None):
+        """Scan `_decode_step_fn` over a run of frames sharing one static
+        ``kb`` bucket. One XLA program per bucket (the scan body is traced
+        once), so a 15-frame rollout costs ~4 dispatches instead of 15 —
+        at ~29 ms tunnel dispatch overhead each, that's most of the
+        per-frame launch cost (reference hot loop:
+        `quantized_video_model.py:849-907`)."""
+
+        def body(carry, z_t):
+            fifo, curr = carry
+            fifo, rgb = self._decode_step_fn(params, fifo, curr, z_t, cond_inter, kb=kb)
+            return (fifo, curr + 1), rgb
+
+        (fifo, _), rgbs = jax.lax.scan(body, (fifo, curr0), z_seg)
+        return fifo, rgbs
+
+    def _get_jit_seg(self):
+        if not hasattr(self, "_jit_seg_cache"):
+            self._jit_seg_cache = jax.jit(
+                self._scan_segment_fn, static_argnames=("kb",)
+            )
+        return self._jit_seg_cache
+
     def decode_video(self, params, codes, ctx_frames=None, n_ctx=1, cond_inter=None,
                      use_scan=False):
         """Decode a token video autoregressively in image space.
@@ -333,22 +356,33 @@ class FrameAutoencoder:
                 scan_step, (fifo, jnp.asarray(n_ctx, jnp.int32)), z_gen
             )
         else:
-            # One jitted per-frame program reused T-n_ctx times: identical
-            # steady-state speed to the fused scan but a much smaller XLA
-            # program (the scan body contains decoder + encoder at k=M
-            # contexts, which can overwhelm remote-compile paths).
-            jstep = self._get_jit_step()
-            outs = []
-            curr = jnp.asarray(n_ctx, jnp.int32)
-            for i in range(t - n_ctx):
-                # static context count this frame -> bucketed FIFO slice
-                kb = self._bucket(min(n_ctx + i, m), m)
+            # Bucketed multi-frame scans: consecutive frames sharing a static
+            # context-count bucket run as ONE scanned XLA program (the scan
+            # body is a single decode step, so programs stay small enough for
+            # the remote compiler, unlike one 15-frame fused scan). A 16-frame
+            # rollout is 4 dispatches (kb = 2, 4, 8, M) instead of 15.
+            jseg = self._get_jit_seg()
+
+            def kb_of(i):
                 if cond_inter is not None:
-                    kb = m  # keep full-slot program when an extra ctx rides along
-                fifo, rgb = jstep(params, fifo, curr, z_gen[i], cond_inter, kb=kb)
-                outs.append(rgb)
-                curr = curr + 1
-            frames = jnp.stack(outs, axis=0)
+                    return m  # full-slot program when an extra ctx rides along
+                return self._bucket(min(n_ctx + i, m), m)
+
+            outs = []
+            curr, i = n_ctx, 0
+            while i < t - n_ctx:
+                kb = kb_of(i)
+                j = i + 1
+                while j < t - n_ctx and kb_of(j) == kb:
+                    j += 1
+                fifo, rgbs = jseg(
+                    params, fifo, jnp.asarray(curr, jnp.int32), z_gen[i:j],
+                    cond_inter, kb=kb,
+                )
+                outs.append(rgbs)
+                curr += j - i
+                i = j
+            frames = jnp.concatenate(outs, axis=0)
         frames = jnp.moveaxis(frames, 0, 1)  # (B, T-n_ctx, H, W, 3)
 
         if ctx_rgb is not None:

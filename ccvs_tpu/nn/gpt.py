@@ -184,12 +184,12 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, cache=None, index=None, deterministic=True):
         cfg = self.cfg
-        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x)
         attn, new_cache = CausalSelfAttention(cfg, dtype=self.dtype, name="attn")(
             h, cache=cache, index=index, deterministic=deterministic
         )
         x = x + attn
-        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(4 * cfg.n_embd, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(h)
         if cfg.resid_noise and not deterministic:
             noise = jax.random.normal(self.make_rng("noise"), (*h.shape[:2], 1), h.dtype)
@@ -234,7 +234,7 @@ class GPTCore(nn.Module):
         # `cache` is a (k, v) tuple of (n_layer, ...) arrays (scanned over
         # axis 0) or None (empty pytree — no per-layer xs).
         x, new_cache = scan(cfg, self.dtype, name="blocks")(emb, cache)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_f")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_f")(x)
         return x, new_cache
 
 
@@ -283,7 +283,7 @@ def decode_step_fn(cfg: TransformerConfig, params, emb1, pos, cache, dtype=jnp.b
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-5)  # torch LayerNorm eps
     xn = xn * ln["scale"] + ln["bias"]
     logits = jnp.dot(xn.astype(dtype), params["head"]["kernel"].astype(dtype))
     return logits[:, 0], cache

@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ccvs_tpu.ops.vq import vq_embed, vq_lookup, vq_loss, vq_perplexity, vq_st
+from ccvs_tpu.ops.vq import vq_embed, vq_lookup_auto, vq_loss, vq_perplexity, vq_st
 
 
 class VectorQuantizer(nn.Module):
@@ -50,7 +50,7 @@ class VectorQuantizer(nn.Module):
         dim = self.e_dim // self.mult
         lead = z.shape[:-1]
         zf = z.reshape(*lead, self.mult, dim) if self.mult > 1 else z
-        z_q, idx = vq_lookup(zf, cb)
+        z_q, idx = vq_lookup_auto(zf, cb)
         if self.normalize:
             z_q = z_q / jnp.linalg.norm(z_q.astype(jnp.float32), axis=-1, keepdims=True).astype(z_q.dtype)
         loss = vq_loss(zf.astype(jnp.float32), z_q.astype(jnp.float32), self.beta)

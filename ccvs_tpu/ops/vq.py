@@ -40,6 +40,20 @@ def vq_lookup(z, codebook):
     return z_q.reshape(z.shape), idx.reshape(lead)
 
 
+def vq_lookup_auto(z, codebook):
+    """Backend-dispatched lookup: the fused Pallas kernel on TPU for
+    production codebook sizes (1024/16384 in the shipped configs), the jnp
+    matmul+argmin elsewhere. Gradients are identical — ``z_q`` is a
+    ``take(codebook, idx)`` in both paths, and ``idx`` carries no gradient.
+    """
+    k = codebook.shape[0]
+    if jax.default_backend() == "tpu" and k >= 1024 and k % 512 == 0:
+        from ccvs_tpu.ops.vq_pallas import vq_lookup_pallas
+
+        return vq_lookup_pallas(z, codebook)
+    return vq_lookup(z, codebook)
+
+
 def vq_embed(indices, codebook, mult=1):
     """Indices -> embeddings, merging ``mult`` sub-codes per position.
 

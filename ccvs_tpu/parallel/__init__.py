@@ -8,8 +8,17 @@ controller psum all become implicit XLA collectives over ICI.
 from ccvs_tpu.parallel.mesh import (
     data_sharding,
     make_mesh,
+    put_batch,
     replicate,
+    replicate_tree,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "data_sharding", "replicate", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicate",
+    "replicate_tree",
+    "shard_batch",
+    "put_batch",
+]

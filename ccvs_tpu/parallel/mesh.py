@@ -44,3 +44,28 @@ def shard_batch(mesh: Mesh, batch):
 def replicate_tree(mesh: Mesh, tree):
     sh = replicate(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def put_batch(mesh: Optional[Mesh], batch):
+    """Place a host batch on the mesh: arrays whose leading dim divides the
+    'data' axis are sharded over it, everything else replicated.
+
+    This is the trainers' single device-placement path (the stand-in for the
+    reference Engine's DistributedSampler + DDP scatter,
+    `tools/engine.py:71-101`): param pytrees stay replicated, batches ride
+    the data axis, and the gradient all-reduce becomes XLA's implicit psum.
+    """
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jax.tree_util.tree_map(jnp.asarray, batch)
+    n = mesh.shape["data"]
+    dsh = data_sharding(mesh)
+    repl = replicate(mesh)
+
+    def put(x):
+        x = jnp.asarray(x)
+        sh = dsh if (x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0) else repl
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)

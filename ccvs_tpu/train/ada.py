@@ -87,7 +87,9 @@ def sample_affine(rng, p, b, height, width):
     # isotropic scale
     s = jnp.exp(jax.random.normal(ks[6], (b,)) * (0.2 * math.log(2)))
     G = _apply(ks[7], p, _scale(s, s), G)
-    p_rot = 1 - math.sqrt(1 - p) if p < 1 else 1.0
+    # trace-safe form of `1 - sqrt(1 - p) if p < 1 else 1` (p may be the
+    # traced adaptive probability inside a jitted train step)
+    p_rot = 1 - jnp.sqrt(jnp.clip(1.0 - p, 0.0, 1.0))
     # pre-rotate
     th = jax.random.uniform(ks[8], (b,), minval=-math.pi, maxval=math.pi)
     G = _apply(ks[9], p_rot, _rotate(-th), G)
@@ -242,7 +244,7 @@ def augment(rng, img, p):
     Args:
       img: (B, H, W, 3) in [-1, 1]; ``p``: augmentation probability.
     """
-    if p <= 0:
+    if isinstance(p, (int, float)) and p <= 0:  # static-p fast path only
         return img
     b, h, w, _ = img.shape
     k1, k2 = jax.random.split(rng)

@@ -99,7 +99,7 @@ class AELosses:
 
     # ---------- generator losses ----------
 
-    def img_generator_loss(self, gen, disc, vgg_params, batch, rng):
+    def img_generator_loss(self, gen, disc, vgg_params, batch, rng, aug_fn=None):
         """`compute_img_to_img_generator_loss` (`quantized_video_model.py:251-456`)."""
         cfg = self.cfg
         ae = self.ae
@@ -247,9 +247,10 @@ class AELosses:
             loss += v
             metrics["vgg_img"] = v
 
-        # adversarial (`:416-421`)
+        # adversarial (`:416-421`); ADA augments the fake before D (`:418`)
         if cfg.use_di and disc is not None:
-            score = self.di.apply({"params": disc["di"]}, fake_img)
+            di_in = aug_fn(fake_img) if aug_fn is not None else fake_img
+            score = self.di.apply({"params": disc["di"]}, di_in)
             adv = gl.GENERATOR_LOSSES[cfg.gan_loss](score) * cfg.lambda_gan
             loss += adv
             metrics["gen_img"] = adv

@@ -30,8 +30,16 @@ from ccvs_tpu.utils.logging import Logger
 
 
 class FrameAutoencoderTrainer:
-    def __init__(self, cfg: Config, vgg_npz: str = None, dtype=jnp.bfloat16):
+    """Trains data-parallel over a ('data', 'model') mesh: params replicated,
+    batches sharded on 'data' (the reference trains DDP on 4 GPUs by default,
+    `tools/engine.py:71-101`; here the gradient all-reduce is XLA's implicit
+    psum over ICI). Pass ``mesh=None`` to span all local devices."""
+
+    def __init__(self, cfg: Config, vgg_npz: str = None, dtype=jnp.bfloat16, mesh=None):
+        from ccvs_tpu.parallel.mesh import make_mesh
+
         self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
         acfg = cfg.ae
         self.ae = FrameAutoencoder(acfg, dtype=dtype)
         self.di = ImageDiscriminator(acfg, dtype=dtype) if acfg.use_di else None
@@ -47,7 +55,12 @@ class FrameAutoencoderTrainer:
         else:
             self.vgg_params = None
 
-        steps = make_ae_steps(self.losses, self.vgg_params)
+        aug_fn = None
+        if acfg.use_aug:
+            from ccvs_tpu.train.ada import augment as ada_augment
+
+            aug_fn = ada_augment
+        steps = make_ae_steps(self.losses, self.vgg_params, aug_fn=aug_fn)
         self.init_state, self._g, self._d, self._r1 = steps
         self.g_step = jax.jit(self._g, static_argnames=("mode",))
         self.d_step = jax.jit(self._d, static_argnames=("mode",))
@@ -121,6 +134,9 @@ class FrameAutoencoderTrainer:
         if resume:
             state = ckpt.load("qvid", "latest", target=state)
             start = int(state.step)
+        from ccvs_tpu.parallel.mesh import replicate_tree
+
+        state = replicate_tree(self.mesh, state)
 
         img_loader, vid_loader = self.make_loaders()
         img_iter = iter(cycle_loader(img_loader))
@@ -137,15 +153,15 @@ class FrameAutoencoderTrainer:
                 profiling.device_sync(state.gen)
                 jax.profiler.stop_trace()
             rng = jax.random.fold_in(key, it)
-            batch = to_device(next(img_iter))
+            batch = to_device(next(img_iter), self.mesh)
             state, gm, fake = self.g_step(state, batch, rng, mode="img")
             state, dm = self.d_step(state, batch, fake, rng, mode="img")
             if acfg.d_reg_every and it % acfg.d_reg_every == 0:
-                state, rm = self.r1_step(state, batch, mode="img")
+                state, rm = self.r1_step(state, batch, mode="img", rng=rng)
                 gm.update(rm)
 
             if vid_iter is not None and it % acfg.vid_step_every == 0:
-                vbatch = to_device(next(vid_iter))
+                vbatch = to_device(next(vid_iter), self.mesh)
                 state, gmv, fakev = self.g_step(state, vbatch, rng, mode="vid")
                 state, dmv = self.d_step(state, vbatch, fakev, rng, mode="vid")
                 if acfg.d_reg_every and it % acfg.d_reg_every == 0:
@@ -178,5 +194,11 @@ def cycle_loader(loader):
         yield from loader
 
 
-def to_device(batch):
+def to_device(batch, mesh=None):
+    """Host batch -> device. With a mesh, shards batch-leading arrays over
+    the 'data' axis (see ``parallel.mesh.put_batch``)."""
+    if mesh is not None:
+        from ccvs_tpu.parallel.mesh import put_batch
+
+        return put_batch(mesh, batch)
     return {k: jnp.asarray(v) for k, v in batch.items()}

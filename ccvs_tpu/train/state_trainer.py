@@ -28,8 +28,11 @@ from ccvs_tpu.utils.logging import Logger
 class StateEstimatorTrainer:
     """`helpers/state_estimator_trainer.py:19-167`."""
 
-    def __init__(self, cfg: Config, ae_params, dtype=jnp.float32):
+    def __init__(self, cfg: Config, ae_params, dtype=jnp.float32, mesh=None):
+        from ccvs_tpu.parallel.mesh import make_mesh
+
         self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
         self.ae = FrameAutoencoder(cfg.ae, dtype=dtype)
         self.ae_params = ae_params
         self.model = StateModel(cfg.state)
@@ -65,6 +68,10 @@ class StateEstimatorTrainer:
         key = jax.random.PRNGKey(cfg.seed)
         params = self.model.init(key)
         state = self.init_state(params)
+        from ccvs_tpu.parallel.mesh import replicate_tree
+
+        state = replicate_tree(self.mesh, state)
+        self.ae_params = replicate_tree(self.mesh, self.ae_params)
 
         train_ds = create_dataset(cfg.data, phase="train", load_vid=False)
         valid_ds = create_dataset(cfg.data, phase="valid", load_vid=False)
@@ -75,7 +82,7 @@ class StateEstimatorTrainer:
         it_data = iter(cycle_loader(loader))
         best = float("inf")
         for it in range(n_iter):
-            state, m = self.step(state, to_device(next(it_data)))
+            state, m = self.step(state, to_device(next(it_data), self.mesh))
             logger.log_scalars(m, it, prefix="state/")
             if cfg.n_iter_eval and it % cfg.n_iter_eval == 0 and it > 0:
                 err = self.evaluate(state.params, vloader)
@@ -93,8 +100,11 @@ class StateEstimatorTrainer:
 class StftAutoencoderTrainer:
     """`helpers/stft_autoencoder_trainer.py:17-151`."""
 
-    def __init__(self, cfg: Config, dtype=jnp.float32):
+    def __init__(self, cfg: Config, dtype=jnp.float32, mesh=None):
+        from ccvs_tpu.parallel.mesh import make_mesh
+
         self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
         self.model = StftModel(cfg.stft)
 
         def loss_fn(params, batch):
@@ -113,13 +123,16 @@ class StftAutoencoderTrainer:
         logger = Logger(os.path.join(cfg.save_path, "logs", cfg.name))
         params = self.model.init(jax.random.PRNGKey(cfg.seed))
         state = self.init_state(params)
+        from ccvs_tpu.parallel.mesh import replicate_tree
+
+        state = replicate_tree(self.mesh, state)
         ds = create_dataset(cfg.data, phase="train", load_vid=True)
         loader = PrefetchLoader(ds, cfg.data.batch_size_vid,
                                 num_workers=cfg.data.num_workers)
         it_data = iter(cycle_loader(loader))
         best = float("inf")
         for it in range(n_iter):
-            state, m = self.step(state, to_device(next(it_data)))
+            state, m = self.step(state, to_device(next(it_data), self.mesh))
             logger.log_scalars(m, it, prefix="stft/")
             if cfg.n_iter_eval and it % cfg.n_iter_eval == 0 and it > 0:
                 mse = float(m["stft_mse"])

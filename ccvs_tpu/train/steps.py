@@ -26,7 +26,14 @@ from ccvs_tpu.train.states import (
 
 
 def make_ae_steps(losses: AELosses, vgg_params, aug_fn=None):
-    """Builds jittable (g_step, d_step, r1_img_step, r1_vid_step) closures."""
+    """Builds jittable (g_step, d_step, r1_img_step, r1_vid_step) closures.
+
+    ``aug_fn(rng, img, p)`` is the ADA transform (``train.ada.augment``);
+    when set and ``cfg.use_aug``, it is applied at the reference's three
+    image-D entry points — G adversarial fake (`quantized_video_model.py:418`),
+    D real+fake (`:639-640`), R1 real (`:677`) — with the adaptive
+    probability ``state.ada_p`` that d_step's controller tunes.
+    """
     cfg = losses.cfg
     opt_g, opt_d = make_ae_optimizers(cfg)
 
@@ -42,15 +49,19 @@ def make_ae_steps(losses: AELosses, vgg_params, aug_fn=None):
             ada_rt=jnp.zeros((), jnp.float32),
         )
 
-    def _aug(state):
+    def _aug(state, rng):
         if not cfg.use_aug or aug_fn is None:
             return None
-        return lambda x, rng=None: aug_fn(x, state.ada_p)
+        return lambda x: aug_fn(rng, x, state.ada_p)
 
     def g_step(state, batch, rng, mode: str):
+        aug = _aug(state, jax.random.fold_in(rng, 1))
+
         def loss_fn(gen):
             if mode == "img":
-                return losses.img_generator_loss(gen, state.disc, vgg_params, batch, rng)
+                return losses.img_generator_loss(
+                    gen, state.disc, vgg_params, batch, rng, aug_fn=aug
+                )
             return losses.vid_generator_loss(gen, state.disc, vgg_params, batch, rng)
 
         (loss, (metrics, fake_data)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.gen)
@@ -64,11 +75,13 @@ def make_ae_steps(losses: AELosses, vgg_params, aug_fn=None):
         return state, metrics, fake_data
 
     def d_step(state, batch, fake_data, rng, mode: str):
+        aug = _aug(state, jax.random.fold_in(rng, 2))
+
         def loss_fn(disc):
             if mode == "img":
                 l, (m, real_score) = losses.img_discriminator_loss(
                     disc, batch["img"], fake_data["img"], fake_data.get("z"),
-                    aug_fn=None,
+                    aug_fn=aug,
                 )
                 return l, (m, real_score)
             l, m = losses.vid_discriminator_loss(
@@ -93,10 +106,14 @@ def make_ae_steps(losses: AELosses, vgg_params, aug_fn=None):
         metrics["d_loss"] = loss
         return state, metrics
 
-    def r1_step(state, batch, mode: str):
+    def r1_step(state, batch, mode: str, rng=None):
+        aug = None
+        if rng is not None:
+            aug = _aug(state, jax.random.fold_in(rng, 3))
+
         def loss_fn(disc):
             if mode == "img":
-                return losses.img_r1_loss(disc, batch["img"], aug_fn=None)
+                return losses.img_r1_loss(disc, batch["img"], aug_fn=aug)
             return losses.vid_r1_loss(disc, batch["vid"])
 
         loss, grads = jax.value_and_grad(loss_fn)(state.disc)

@@ -38,9 +38,17 @@ def blur_video(vid: np.ndarray, sigma: float) -> np.ndarray:
 
 
 class TransformerTrainer:
+    """Trains data-parallel over a ('data', 'model') mesh (see
+    ``FrameAutoencoderTrainer``); with ``model_parallel > 1`` in the mesh the
+    GPT params additionally get Megatron-style head/MLP sharding
+    (``parallel.tp``) while the frozen AE stays replicated."""
+
     def __init__(self, cfg: Config, ae_params, state_params=None, stft_params=None,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, mesh=None):
+        from ccvs_tpu.parallel.mesh import make_mesh
+
         self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
         self.ae = FrameAutoencoder(cfg.ae, dtype=dtype)
         self.ae_params = ae_params
         self.transformer = TokenTransformer(cfg.gpt, dtype=dtype)
@@ -100,6 +108,18 @@ class TransformerTrainer:
         if resume:
             tstate = ckpt.load("transformer", "latest", target=tstate)
             start = int(tstate.step)
+        from ccvs_tpu.parallel.mesh import replicate_tree
+        from ccvs_tpu.parallel.tp import shard_gpt_params
+
+        tstate = replicate_tree(self.mesh, tstate)
+        if self.mesh.shape.get("model", 1) > 1:
+            # Megatron head/MLP sharding; the adam moments nest the same param
+            # dict, so the same path-keyed specs shard them identically.
+            tstate = tstate.replace(
+                params=shard_gpt_params(self.mesh, tstate.params),
+                opt=shard_gpt_params(self.mesh, tstate.opt),
+            )
+        self.ae_params = replicate_tree(self.mesh, self.ae_params)
 
         ds = create_dataset(cfg.data, phase="train", load_vid=True)
         loader = PrefetchLoader(ds, cfg.data.batch_size_vid,
@@ -108,8 +128,9 @@ class TransformerTrainer:
 
         t0 = time.time()
         for it in range(start, n_iter):
-            batch = to_device(next(it_data))
+            batch = to_device(next(it_data), self.mesh)
             tokens = self.encode_batch(batch)
+            tokens = to_device(tokens, self.mesh)
             tstate, metrics = self.step(tstate, tokens)
             logger.log_scalars(metrics, it, prefix="transformer/")
             if cfg.log_freq and it % cfg.log_freq == 0:

@@ -1,0 +1,104 @@
+"""Data-layer tests: elastic layout branch + layout loading quadrants."""
+
+import numpy as np
+import pytest
+
+from ccvs_tpu.config import DataConfig
+from ccvs_tpu.data.base import SyntheticDataset
+from ccvs_tpu.data.elastic import ElasticParams, get_augmentation
+
+
+def _img_layout(d=32):
+    img = np.full((d, d, 3), -1.0, np.float32)
+    lay = np.zeros((d, d), np.int64)
+    img[8:20, 10:22] = 0.8
+    lay[8:20, 10:22] = 1
+    img[24:30, 2:8] = 0.3
+    lay[24:30, 2:8] = 2
+    return img, lay
+
+
+@pytest.mark.parametrize("invert", [False, True])
+@pytest.mark.parametrize("zoom", [1.0, 1.3])
+def test_elastic_layout_branch_shapes(invert, zoom):
+    """Layout branch (`augmentations.py:107-128`): same flows, nearest mode,
+    class ids preserved."""
+    img, lay = _img_layout()
+    p = ElasticParams(alpha=1.0, sigma=0.2, invert=invert, min_zoom=zoom, max_zoom=zoom)
+    out = get_augmentation(img, 16, p, np.random.RandomState(0), layout=lay)
+    assert len(out) == 6
+    ctx, dist, flow, mask, ctx_l, dist_l = out
+    assert ctx.shape == (16, 16, 3) and dist.shape == (16, 16, 3)
+    assert ctx_l.shape == (16, 16) and dist_l.shape == (16, 16)
+    assert ctx_l.dtype == np.int64 and dist_l.dtype == np.int64
+    assert set(np.unique(ctx_l)) <= {0, 1, 2}
+    assert set(np.unique(dist_l)) <= {0, 1, 2}
+    # without layout the legacy 4-tuple survives
+    out4 = get_augmentation(img, 16, p, np.random.RandomState(0))
+    assert len(out4) == 4
+
+
+def test_elastic_layout_follows_image():
+    """The warped layout must track the warped image: bright pixels (the
+    class-1 square) should carry label 1 after the same elastic warp."""
+    img = np.full((32, 32, 3), -1.0, np.float32)
+    lay = np.zeros((32, 32), np.int64)
+    img[6:26, 6:26] = 1.0
+    lay[6:26, 6:26] = 1
+    p = ElasticParams(alpha=1.0, sigma=0.3)
+    ctx, dist, flow, mask, ctx_l, dist_l = get_augmentation(
+        img, 32, p, np.random.RandomState(1), layout=lay
+    )
+    bright = dist[..., 0] > 0.5
+    dark = dist[..., 0] < -0.5
+    agree = (dist_l[bright] == 1).mean() if bright.any() else 1.0
+    agree_bg = (dist_l[dark] == 0).mean() if dark.any() else 1.0
+    assert agree > 0.9 and agree_bg > 0.9
+
+
+def _cfg(**kw):
+    base = dict(
+        dataset="synthetic", max_dim=16, true_dim=32, vid_len=3,
+        batch_size_img=4, batch_size_vid=2, n_consecutive_img=2, img_out_of_n=8,
+        num_workers=1, load_layout=True,
+    )
+    base.update(kw)
+    return DataConfig(**base)
+
+
+def test_synthetic_layouts_img_group_with_elastic():
+    cfg = _cfg(load_elastic_view=True, elastic_alpha=1.0, elastic_sigma=0.2)
+    ds = SyntheticDataset(cfg, phase="train")
+    item = ds[0]
+    # [ctx, other, distorted] images; layouts follow (`base_dataset.py:313-318`)
+    assert item["img"].shape == (3, 16, 16, 3)
+    assert item["layout"].shape == (3, 1, 16, 16)
+    assert item["layout"].dtype == np.int64
+    assert set(np.unique(item["layout"])) <= {0, 1}
+
+
+def test_synthetic_layouts_vid():
+    cfg = _cfg()
+    ds = SyntheticDataset(cfg, phase="train", load_vid=True)
+    item = ds[0]
+    assert item["vid"].shape == (3, 16, 16, 3)
+    assert item["layout"].shape == (3, 16, 16)
+    # the moving square is labeled 1 where the frame is bright
+    bright = item["vid"][..., 0] > 0.0
+    assert (item["layout"][bright] == 1).mean() > 0.9
+
+
+def test_loader_propagates_worker_exception():
+    """A dataset error must surface in the consumer, not hang the loader."""
+    from ccvs_tpu.data.loader import PrefetchLoader
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise ValueError("boom")
+
+    loader = PrefetchLoader(Bad(), batch_size=2, num_workers=1)
+    with pytest.raises(ValueError, match="boom"):
+        next(iter(loader))

@@ -1,0 +1,109 @@
+"""Vendored-weight exporter tests with mocked torch sources.
+
+Real VGG19/I3D weights can't be downloaded in this environment; these tests
+exercise the exporter logic itself (key filtering, layout translation, npz
+round trip) with synthetic state dicts of the real shapes.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+def test_export_vgg_with_mocked_torchvision(tmp_path, monkeypatch):
+    import torch
+
+    from ccvs_tpu.nn.vgg import _layer_plan, features, load_vgg19_npz
+    from ccvs_tpu.port import export_vgg
+
+    sd, i = {}, 0
+    for kind, cin, cout in _layer_plan():
+        if kind == "conv":
+            sd[f"features.{i}.weight"] = torch.randn(cout, cin, 3, 3) * 0.05
+            sd[f"features.{i}.bias"] = torch.randn(cout) * 0.01
+        i += 1
+    sd["classifier.0.weight"] = torch.randn(8, 8)  # must be filtered out
+
+    fake_vgg = types.SimpleNamespace(state_dict=lambda: sd)
+    tv = types.ModuleType("torchvision")
+    tv.models = types.SimpleNamespace(vgg19=lambda weights=None: fake_vgg)
+    monkeypatch.setitem(sys.modules, "torchvision", tv)
+
+    out = tmp_path / "vgg19.npz"
+    export_vgg.main(str(out))
+    raw = np.load(str(out))
+    assert all(k.startswith("features.") for k in raw.files)
+
+    params = load_vgg19_npz(str(out))
+    np.testing.assert_allclose(
+        np.asarray(params["conv0"]["weight"]), sd["features.0.weight"].numpy()
+    )
+    acts = features(params, jnp.zeros((1, 32, 32, 3)))
+    assert len(acts) == 5
+    assert all(np.isfinite(np.asarray(a)).all() for a in acts)
+
+
+def _torch_style_i3d_sd(variables):
+    """Inverse of export_i3d.translate: flax variables -> pytorch-i3d keys."""
+    from ccvs_tpu.port.export_i3d import _BRANCH, _ENDPOINT
+
+    inv_ep = {v: k for k, v in _ENDPOINT.items()}
+    inv_br = {v: k for k, v in _BRANCH.items()}
+    sd = {}
+
+    def walk(node, scope):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, scope + (k,))
+                continue
+            mods = list(scope) + [k]
+            ep = inv_ep.get(mods[0], mods[0])
+            rest = mods[1:]
+            if rest and rest[0] in inv_br:
+                ep = f"{ep}.{inv_br[rest[0]]}"
+                rest = rest[1:]
+            unit, field = rest[0], rest[1]
+            v = np.asarray(v)
+            if unit == "conv3d" and field == "kernel":
+                sd[f"{ep}.conv3d.weight"] = v.transpose(4, 3, 0, 1, 2)
+            elif unit == "bn" and field == "scale":
+                sd[f"{ep}.bn.weight"] = v
+            elif unit == "bn" and field == "bias":
+                sd[f"{ep}.bn.bias"] = v
+            elif unit == "bn" and field == "mean":
+                sd[f"{ep}.bn.running_mean"] = v
+            elif unit == "bn" and field == "var":
+                sd[f"{ep}.bn.running_var"] = v
+
+    walk(variables["params"], ())
+    walk(variables["batch_stats"], ())
+    return sd
+
+
+def test_export_i3d_translate_roundtrip(tmp_path):
+    """translate() must rebuild the exact flax tree our I3D init produces."""
+    from flax.core import unfreeze
+
+    from ccvs_tpu.eval.fvd import I3D, load_i3d
+    from ccvs_tpu.port.export_i3d import translate
+
+    model = I3D()
+    variables = unfreeze(model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 64, 3))))
+    sd = _torch_style_i3d_sd(variables)
+    tree = translate(sd)
+
+    want = jax.tree_util.tree_map(lambda x: tuple(x.shape), variables)
+    got = jax.tree_util.tree_map(lambda x: tuple(x.shape), tree)
+    assert want == got
+
+    # numerics survive the round trip and the npz load path
+    np.savez(tmp_path / "i3d.npz", variables=np.array(tree, dtype=object))
+    loaded = load_i3d(str(tmp_path / "i3d.npz"))
+    emb = model.apply(loaded, jnp.zeros((1, 16, 64, 64, 3)))
+    ref = model.apply(variables, jnp.zeros((1, 16, 64, 64, 3)))
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    assert emb.shape == (1, 1024)

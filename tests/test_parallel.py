@@ -1,0 +1,118 @@
+"""Multi-device trainer tests on the virtual 8-device CPU mesh.
+
+These run the *real* trainer code paths (not `train.dryrun`) data-parallel
+over `parallel.mesh.make_mesh(8)` and assert numerical equality with an
+unsharded run — the TPU-native analog of the reference's 4-GPU DDP default
+(`tools/engine.py:71-101`, `scripts/bairhd/train_frame_autoencoder.sh`).
+"""
+
+import dataclasses
+import random
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ccvs_tpu.config import AutoencoderConfig, Config, DataConfig, TransformerConfig
+from ccvs_tpu.parallel.mesh import make_mesh, put_batch
+
+AE_CFG = AutoencoderConfig(
+    necf=8, necf_mult=(1, 2), ndcf=8, ndcf_mult=(1, 2),
+    z_size=16, z_num=32, z_shape=(4, 4), max_dim=8,
+    inter_p=0.5, skip_memory=2, skip_context=(1, 2),
+    use_di=True, use_dv=True, use_vgg_img=False, use_vgg_vid=False,
+    use_direct_recovery_img=True, use_direct_recovery_vid=True,
+    slide_inter=True, n_consecutive_img=2, vid_len=3,
+    load_elastic_view=False, elastic_corruption=False, d_reg_every=2,
+    stddev_group=2,
+)
+GPT_CFG = TransformerConfig(
+    z_num=32, z_len=32, z_chunk=16, num_blocks=2, cond_len=16,
+    n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+)
+DATA_CFG = DataConfig(
+    dataset="synthetic", max_dim=8, true_dim=32, vid_len=3,
+    batch_size_img=8, batch_size_vid=8, n_consecutive_img=2, img_out_of_n=8,
+    load_elastic_view=False, num_workers=1, load_vid_len=8,
+)
+
+
+def _cfg(tmp):
+    return Config(
+        name="par", save_path=tmp, data=DATA_CFG, ae=AE_CFG, gpt=GPT_CFG,
+        n_iter=2, save_latest_freq=100, log_freq=0,
+    )
+
+
+def _leaves(tree):
+    return np.concatenate(
+        [np.asarray(l, np.float32).ravel() for l in jax.tree_util.tree_leaves(tree)]
+    )
+
+
+def test_put_batch_shards_divisible_leading_axis():
+    mesh = make_mesh(8)
+    batch = {"img": np.zeros((16, 4, 4, 3)), "delta": np.zeros((3,))}
+    out = put_batch(mesh, batch)
+    assert "data" in str(out["img"].sharding.spec)  # sharded
+    assert out["delta"].sharding.spec == jax.sharding.PartitionSpec()  # replicated
+
+
+def _run_ae(tmp, n_devices):
+    from ccvs_tpu.train.ae_trainer import FrameAutoencoderTrainer
+
+    random.seed(42)  # dataset per-sample aug params (single worker => ordered)
+    cfg = _cfg(tmp)
+    tr = FrameAutoencoderTrainer(cfg, dtype=jnp.float32, mesh=make_mesh(n_devices))
+    return tr.run(n_iter=2)
+
+
+def test_ae_trainer_dp8_matches_dp1(tmp_path):
+    """Two AE iterations (G+D+R1, img+vid) through the actual trainer: the
+    dp8-sharded run must produce the same params as the unsharded run."""
+    s1 = _run_ae(str(tmp_path / "dp1"), 1)
+    s8 = _run_ae(str(tmp_path / "dp8"), 8)
+    g1, g8 = _leaves(s1.gen), _leaves(s8.gen)
+    d1, d8 = _leaves(s1.disc), _leaves(s8.disc)
+    np.testing.assert_allclose(g1, g8, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(d1, d8, rtol=2e-3, atol=2e-4)
+    # batch really was sharded: the mesh spans 8 devices
+    assert s8.gen and len(jax.devices()) == 8
+
+
+def test_transformer_trainer_dp8_matches_dp1(tmp_path):
+    from ccvs_tpu.models import FrameAutoencoder
+    from ccvs_tpu.train.transformer_trainer import TransformerTrainer
+
+    base = _cfg(str(tmp_path))
+    cfg = base.replace(data=dataclasses.replace(base.data, vid_len=2, load_vid_len=None))
+    ae = FrameAutoencoder(cfg.ae, dtype=jnp.float32)
+    ae_params = ae.init(jax.random.PRNGKey(0))
+
+    outs = []
+    for n in (1, 8):
+        random.seed(42)
+        cfg_n = cfg.replace(save_path=str(tmp_path / f"dp{n}"))
+        tr = TransformerTrainer(cfg_n, ae_params, dtype=jnp.float32, mesh=make_mesh(n))
+        outs.append(tr.run(n_iter=2))
+    np.testing.assert_allclose(
+        _leaves(outs[0].params), _leaves(outs[1].params), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_transformer_trainer_dp4_tp2(tmp_path):
+    """Megatron head/MLP sharding through the real trainer (mesh 4x2)."""
+    from ccvs_tpu.models import FrameAutoencoder
+    from ccvs_tpu.train.transformer_trainer import TransformerTrainer
+
+    base = _cfg(str(tmp_path))
+    cfg = base.replace(data=dataclasses.replace(base.data, vid_len=2, load_vid_len=None))
+    ae = FrameAutoencoder(cfg.ae, dtype=jnp.float32)
+    ae_params = ae.init(jax.random.PRNGKey(0))
+    random.seed(42)
+    tr = TransformerTrainer(cfg, ae_params, dtype=jnp.float32,
+                            mesh=make_mesh(8, model_parallel=2))
+    state = tr.run(n_iter=1)
+    assert int(state.step) == 1
+    assert np.all(np.isfinite(_leaves(state.params)))

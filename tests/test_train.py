@@ -309,3 +309,55 @@ def test_layout_vid_rollout(rng):
     assert np.isfinite(float(loss))
     assert "layout_vid" in m and "layout_quant_vid" in m
     assert fake["vid"].shape == (2, 3, 8, 8, 3)
+
+
+def test_ada_wiring_tunes_p_and_transforms(rng):
+    """ADA is live in the train steps (`quantized_video_model.py:418,639-640,
+    653-655,677`): with aug_p=0 tuning enabled, the controller moves ada_p,
+    and the augmentation actually changes what the image D sees."""
+    import dataclasses
+
+    from ccvs_tpu.train.ada import augment
+
+    cfg = dataclasses.replace(
+        AE_CFG, use_aug=True, aug_p=0.0, ada_length=20, use_dv=False,
+        load_elastic_view=False, elastic_corruption=False,
+        use_elastic_flow_recovery=False,
+    )
+    ae = FrameAutoencoder(cfg, dtype=jnp.float32)
+    di = ImageDiscriminator(cfg)
+    losses = AELosses(cfg, ae, di=di)
+    gen = ae.init(jax.random.PRNGKey(0))
+    disc = {"di": di.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)))["params"]}
+    init_state, g_step, d_step, r1_step = make_ae_steps(losses, None, aug_fn=augment)
+    state = init_state(jax.random.PRNGKey(0), gen, disc)
+    batch = {"img": jnp.asarray(rng.randn(4, 8, 8, 3).astype(np.float32) * 0.2)}
+
+    g_img = jax.jit(lambda s, b, r: g_step(s, b, r, "img"))
+    d_img = jax.jit(lambda s, b, f, r: d_step(s, b, f, r, "img"))
+    r1_img = jax.jit(lambda s, b, r: r1_step(s, b, "img", rng=r))
+
+    key = jax.random.PRNGKey(1)
+    p0 = float(state.ada_p)
+    for i in range(6):
+        k = jax.random.fold_in(key, i)
+        state, gm, fake = g_img(state, batch, k)
+        state, dm = d_img(state, batch, fake, k)
+    # controller moved p (|step| = batch/ada_length = 0.2 per d step)
+    assert float(state.ada_p) != p0
+    assert "rt_stat" in dm
+
+    # the augmentation is in the D graph: same inputs, different ada_p =>
+    # different d_loss (and r1), because real/fake really get transformed
+    s_hi = state.replace(ada_p=jnp.asarray(0.9, jnp.float32))
+    s_lo = state.replace(ada_p=jnp.asarray(0.0, jnp.float32))
+    _, dm_hi = d_img(s_hi, batch, fake, key)
+    _, dm_lo = d_img(s_lo, batch, fake, key)
+    assert not np.isclose(float(dm_hi["d_loss"]), float(dm_lo["d_loss"]))
+    _, rm_hi = r1_img(s_hi, batch, key)
+    _, rm_lo = r1_img(s_lo, batch, key)
+    assert not np.isclose(float(rm_hi["r1_img"]), float(rm_lo["r1_img"]))
+    # g adversarial term also sees the augmented fake
+    _, gm_hi, _ = g_img(s_hi, batch, key)
+    _, gm_lo, _ = g_img(s_lo, batch, key)
+    assert not np.isclose(float(gm_hi["gen_img"]), float(gm_lo["gen_img"]))
