@@ -25,6 +25,9 @@ import numpy as np
 
 def _add_common(p):
     p.add_argument("--preset", default="bairhd", help="config preset name")
+    p.add_argument("--load-config", default=None,
+                   help="path to a saved config.json; overrides --preset "
+                        "(reference --load_from_opt_file)")
     p.add_argument("--name", default=None)
     p.add_argument("--save-path", default="./runs")
     p.add_argument("--n-iter", type=int, default=None)
@@ -42,9 +45,12 @@ def _add_common(p):
 
 
 def _config(args):
-    from ccvs_tpu.config import get_config
+    from ccvs_tpu.config import Config, get_config
 
-    cfg = get_config(args.preset)
+    if getattr(args, "load_config", None):
+        cfg = Config.load(args.load_config)
+    else:
+        cfg = get_config(args.preset)
     over = {"save_path": args.save_path, "seed": args.seed}
     if args.name:
         over["name"] = args.name

@@ -333,6 +333,40 @@ class Config:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)
 
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        """Rebuild a Config from `to_json` output (the reference's
+        `--load_from_opt_file` reload, `tools/options.py:462-522`). Tuple
+        fields arrive as JSON lists and are restored by field type."""
+        raw = json.loads(text)
+
+        def build(dc_type, d):
+            kw = {}
+            for f in dataclasses.fields(dc_type):
+                if f.name not in d:
+                    continue
+                v = d[f.name]
+                if isinstance(v, list):
+                    v = tuple(v)
+                kw[f.name] = v
+            return dc_type(**kw)
+
+        groups = {"data": DataConfig, "ae": AutoencoderConfig, "gpt": TransformerConfig,
+                  "state": StateConfig, "stft": StftConfig}
+        kw = {}
+        for name, typ in groups.items():
+            if name in raw:
+                kw[name] = build(typ, raw[name])
+        for f in dataclasses.fields(cls):
+            if f.name not in groups and f.name in raw:
+                kw[f.name] = raw[f.name]
+        return cls(**kw)
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
 
 def _bair_ae() -> AutoencoderConfig:
     # scripts/bairhd/train_frame_autoencoder.sh

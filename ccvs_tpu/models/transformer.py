@@ -201,7 +201,6 @@ class TokenTransformer:
             return code, state_code
 
         if cfg.beam_size is not None and cfg.beam_size > 1:
-            assert cfg.state_size == 0, "beam search with state tokens unsupported (as in reference)"
             merged = self._fill_beam_jit(
                 params, rng, merged, start, jnp.asarray(covered), kind, s_idx, t_idx,
                 cond_code, delta, lbl,
@@ -368,15 +367,40 @@ class TokenTransformer:
             return jax.nn.log_softmax(lg, axis=-1)
 
         # first generated position: beam distinct tokens per batch element
+        # (or a plain state sample when the schedule interleaves a state slot
+        # first — beams stay identical until the first frame token)
         rng, sub = jax.random.split(rng)
-        lp0 = logprobs(logits0)[::beam]  # (b, V) — beams identical after prefill
-        if cfg.sample and not getattr(cfg, "no_sample", False):
-            g = -jnp.log(-jnp.log(jax.random.uniform(sub, lp0.shape) + 1e-20) + 1e-20)
-            _, tok0 = jax.lax.top_k(lp0 + g, beam)  # sampling w/o replacement
-        else:
-            _, tok0 = jax.lax.top_k(lp0, beam)
-        tok0 = tok0.reshape(bb)
-        log_p = jnp.take_along_axis(lp0, tok0.reshape(b, beam), axis=1).reshape(bb)
+
+        def first_frame(_):
+            lp0 = logprobs(logits0)[::beam]  # (b, V) — beams identical after prefill
+            if cfg.sample and not getattr(cfg, "no_sample", False):
+                g = -jnp.log(-jnp.log(jax.random.uniform(sub, lp0.shape) + 1e-20) + 1e-20)
+                _, tok0 = jax.lax.top_k(lp0 + g, beam)  # sampling w/o replacement
+            else:
+                _, tok0 = jax.lax.top_k(lp0, beam)
+            tok0 = tok0.reshape(bb)
+            log_p = jnp.take_along_axis(lp0, tok0.reshape(b, beam), axis=1).reshape(bb)
+            return tok0.astype(jnp.int32), log_p
+
+        def first_state(_):
+            lg = logits0.astype(jnp.float32) / cfg.temperature_state
+            ar = jnp.arange(lg.shape[-1])
+            lg = jnp.where(ar[None] < max(cfg.state_num, 1), lg, -jnp.inf)
+            if cfg.top_k_state is not None:
+                vals, _ = jax.lax.top_k(lg, min(cfg.top_k_state, lg.shape[-1]))
+                lg = jnp.where(lg < vals[:, -1:], -jnp.inf, lg)
+            if cfg.sample_state or cfg.sample:
+                tok0 = jax.random.categorical(sub, lg, axis=-1)
+            else:
+                tok0 = jnp.argmax(lg, axis=-1)
+            return tok0.astype(jnp.int32), jnp.zeros((bb,), jnp.float32)
+
+        def first_given(_):
+            tok0 = jax.lax.dynamic_index_in_dim(merged_b, start, axis=1, keepdims=False)
+            return tok0.astype(jnp.int32), jnp.zeros((bb,), jnp.float32)
+
+        case0 = jnp.where(given[start], 2, jnp.where(kind[start] == KIND_STATE, 1, 0))
+        tok0, log_p = jax.lax.switch(case0, [first_frame, first_state, first_given], None)
 
         merged_b = merged_b.at[:, start].set(tok0)
         emb1 = model.apply(
@@ -391,23 +415,56 @@ class TokenTransformer:
             merged_b, cache, logits, log_p, rng = carry
             rng, sub = jax.random.split(rng)
             lp = logprobs(logits)  # (bb, V)
-            if cfg.sample:
-                tok = jax.random.categorical(sub, lp, axis=-1)
-                ilp = jnp.take_along_axis(lp, tok[:, None], axis=1)[:, 0]
-                new_log_p = log_p + ilp
-            else:
-                # expand beam^2, prune to beam, reorder cache
-                vals, cand = jax.lax.top_k(lp, beam)  # (bb, beam)
-                total = (log_p[:, None] + vals).reshape(b, beam * beam)
-                new_log_p, keep = jax.lax.top_k(total, beam)  # (b, beam)
-                parent = keep // beam  # hypothesis index within batch elem
-                tok = jnp.take_along_axis(
-                    cand.reshape(b, beam * beam), keep, axis=1
-                ).reshape(bb)
-                gather_idx = (jnp.arange(b)[:, None] * beam + parent).reshape(bb)
-                merged_b = merged_b[gather_idx]
-                cache = jax.tree_util.tree_map(lambda c: c[gather_idx], cache)
-                new_log_p = new_log_p.reshape(bb)
+
+            def frame_case(op):
+                merged_b, cache, log_p = op
+                if cfg.sample:
+                    tok = jax.random.categorical(sub, lp, axis=-1)
+                    ilp = jnp.take_along_axis(lp, tok[:, None], axis=1)[:, 0]
+                    new_log_p = log_p + ilp
+                else:
+                    # expand beam^2, prune to beam, reorder cache
+                    vals, cand = jax.lax.top_k(lp, beam)  # (bb, beam)
+                    total = (log_p[:, None] + vals).reshape(b, beam * beam)
+                    new_log_p, keep = jax.lax.top_k(total, beam)  # (b, beam)
+                    parent = keep // beam  # hypothesis index within batch elem
+                    tok = jnp.take_along_axis(
+                        cand.reshape(b, beam * beam), keep, axis=1
+                    ).reshape(bb)
+                    gather_idx = (jnp.arange(b)[:, None] * beam + parent).reshape(bb)
+                    merged_b = merged_b[gather_idx]
+                    cache = jax.tree_util.tree_map(lambda c: c[gather_idx], cache)
+                    new_log_p = new_log_p.reshape(bb)
+                return merged_b, cache, new_log_p, tok.astype(jnp.int32)
+
+            def state_case(op):
+                # state tokens ride along per hypothesis, outside the beam
+                # score (reference samples them directly in the generation
+                # loop, `transformer_model.py:352-356`)
+                merged_b, cache, log_p = op
+                lg = logits.astype(jnp.float32) / cfg.temperature_state
+                ar = jnp.arange(lg.shape[-1])
+                lg = jnp.where(ar[None] < max(cfg.state_num, 1), lg, -jnp.inf)
+                if cfg.top_k_state is not None:
+                    vals, _ = jax.lax.top_k(lg, min(cfg.top_k_state, lg.shape[-1]))
+                    lg = jnp.where(lg < vals[:, -1:], -jnp.inf, lg)
+                if cfg.sample_state or cfg.sample:
+                    tok = jax.random.categorical(sub, lg, axis=-1)
+                else:
+                    tok = jnp.argmax(lg, axis=-1)
+                return merged_b, cache, log_p, tok.astype(jnp.int32)
+
+            def given_case(op):
+                # provided tokens (context frames / keep_state streams) are
+                # copied through without scoring or reordering
+                merged_b, cache, log_p = op
+                tok = jax.lax.dynamic_index_in_dim(merged_b, j, axis=1, keepdims=False)
+                return merged_b, cache, log_p, tok.astype(jnp.int32)
+
+            case = jnp.where(given[j], 2, jnp.where(kind[j] == KIND_STATE, 1, 0))
+            merged_b, cache, new_log_p, tok = jax.lax.switch(
+                case, [frame_case, state_case, given_case], (merged_b, cache, log_p)
+            )
             merged_b = jax.lax.dynamic_update_index_in_dim(merged_b, tok, j, axis=1)
             emb1 = model.apply(
                 {"params": params}, tok, kind[j], s_idx[j], t_idx[j], method=GPT.embed_one

@@ -242,12 +242,23 @@ def port_stft(cfg: StftConfig, enc_sd, dec_sd) -> dict:
 
 
 def port_autoencoder(cfg: AutoencoderConfig, sds: Dict[str, Dict[str, np.ndarray]]) -> dict:
-    """Port the {encoder, quantizer, decoder} group from label->state_dict."""
-    return {
+    """Port the {encoder, quantizer, decoder} group from label->state_dict.
+
+    Layout-twin nets ride the `qvid_{el,ql,gl}` labels
+    (`quantized_video_model.py:208-223`); with ``same_decoder_layout`` the
+    reference saves no `qvid_gl` (the shared decoder decodes both)."""
+    out = {
         "encoder": port_encoder(cfg, sds["qvid_e"]),
         "quantizer": port_quantizer(sds["qvid_q"]),
         "decoder": port_decoder(cfg, sds["qvid_g"]),
     }
+    if "qvid_el" in sds:
+        out["encoder_l"] = port_encoder(cfg, sds["qvid_el"])
+    if "qvid_ql" in sds:
+        out["quantizer_l"] = port_quantizer(sds["qvid_ql"])
+    if "qvid_gl" in sds:
+        out["decoder_l"] = port_decoder(cfg, sds["qvid_gl"])
+    return out
 
 
 # ---------------- checkpoint-transfer transforms ----------------

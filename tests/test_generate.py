@@ -240,3 +240,41 @@ def test_decode_video_bucketing_invariance(rng):
         type(ae)._bucket = orig
     np.testing.assert_allclose(np.asarray(out_bucketed), np.asarray(out_full),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_generate_beam_with_state_tokens(rng):
+    """Beam search with an interleaved state stream: frame tokens get beam
+    treatment, state tokens are sampled per hypothesis outside the beam score
+    (reference `transformer_model.py:352-391`), and provided (keep_state)
+    tokens survive untouched."""
+    import dataclasses
+
+    cfg = TransformerConfig(
+        z_num=32, z_len=72, z_chunk=18, num_blocks=4, cond_len=18,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        top_k=5, beam_size=2, state=True, state_num=16, state_size=2,
+        sample_state=True, top_k_state=4,
+    )
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    params = tr.init(jax.random.PRNGKey(0), batch=2)
+    code = jnp.asarray(rng.randint(0, 32, (2, 16)))
+
+    # sampled state stream
+    gen = tr.generate(params, jax.random.PRNGKey(1), code, total_len=72)
+    assert gen["code"].shape[1] + gen["state_code"].shape[1] == 72
+    np.testing.assert_array_equal(np.asarray(gen["code"][:, :16]), np.asarray(code))
+    assert np.asarray(gen["state_code"]).max() < cfg.state_num
+
+    # keep_state: the full provided state stream must come back verbatim
+    state = jnp.asarray(rng.randint(0, 16, (2, 8)))
+    gen2 = tr.generate(params, jax.random.PRNGKey(1), code, state_code=state,
+                       total_len=72)
+    np.testing.assert_array_equal(
+        np.asarray(gen2["state_code"][:, :8]), np.asarray(state)
+    )
+
+    # greedy (no-sample) beam with expand/prune also runs with states
+    cfg2 = dataclasses.replace(cfg, sample=False, sample_state=False)
+    tr2 = TokenTransformer(cfg2, dtype=jnp.float32)
+    gen3 = tr2.generate(params, jax.random.PRNGKey(1), code, total_len=72)
+    assert gen3["code"].shape[1] + gen3["state_code"].shape[1] == 72

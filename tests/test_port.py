@@ -26,7 +26,7 @@ def tree_shapes(t):
     return jax.tree_util.tree_map(lambda x: tuple(x.shape), t)
 
 
-def synth_encoder_sd(cfg, rng):
+def synth_encoder_sd(cfg, rng, in_size=3):
     """Reference-named SkipGANEncoder state dict (`skip_autoencoder.py:309-351`)."""
     sd = {}
     chans = list(cfg.enc_channels)
@@ -42,14 +42,14 @@ def synth_encoder_sd(cfg, rng):
         conv(f"{prefix}.conv2", cin, cout, 3, down=down)
         conv(f"{prefix}.skip", cin, cout, 1, down=down, bias=False)
 
-    conv("blocks.0", 3, chans[0], 1)
+    conv("blocks.0", in_size, chans[0], 1)
     for i in range(1, len(chans)):
         res(f"blocks.{i}", chans[i - 1], chans[i], down=True)
     conv(f"blocks.{len(chans)}", chans[-1], cfg.z_size, 1)
     return sd
 
 
-def synth_decoder_sd(cfg, rng):
+def synth_decoder_sd(cfg, rng, out_size=3, in_size=None):
     from ccvs_tpu.nn.decoder import interblock_schedule
 
     sd = {}
@@ -73,10 +73,10 @@ def synth_decoder_sd(cfg, rng):
         conv(f"{prefix}.conv2", cin, cout, 3, up=True)
         conv(f"{prefix}.skip", cin, cout, 1, up=True, bias=False)
 
-    conv("blocks.0", cfg.z_size, chans[0], 1)
+    conv("blocks.0", in_size or cfg.z_size, chans[0], 1)
     for i in range(1, len(chans)):
         res(f"blocks.{i}", chans[i - 1], chans[i])
-    conv(f"blocks.{len(chans)}", chans[-1], 3, 1)
+    conv(f"blocks.{len(chans)}", chans[-1], out_size, 1)
 
     for i in range(cfg.num_resolutions):
         s = cfg.inter_sizes_dec[i]
@@ -203,3 +203,36 @@ def test_port_gpt_matches_torch_block(rng):
     # relative to the output scale (observed agreement ~7e-6 relative)
     scale = np.abs(want).max()
     np.testing.assert_allclose(np.asarray(got) / scale, want / scale, atol=1e-4)
+
+
+def test_port_layout_twins(rng):
+    """qvid_{el,ql,gl} labels port into the twin param groups
+    (`quantized_video_model.py:208-223`)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(AE, use_layout=True, layout_size=5)
+    ae = FrameAutoencoder(cfg, dtype=jnp.float32)
+    init = ae.init(jax.random.PRNGKey(0))
+    sds = {
+        "qvid_e": synth_encoder_sd(cfg, rng),
+        "qvid_g": synth_decoder_sd(cfg, rng),
+        "qvid_q": {"embedding.weight": rng.randn(cfg.z_num, cfg.z_size).astype(np.float32)},
+        "qvid_el": synth_encoder_sd(cfg, rng, in_size=5),
+        "qvid_gl": synth_decoder_sd(cfg, rng, out_size=5),
+        "qvid_ql": {"embedding.weight": rng.randn(cfg.z_num, cfg.z_size).astype(np.float32)},
+    }
+    ported = pp.port_autoencoder(cfg, sds)
+    assert tree_shapes(ported) == tree_shapes(init)
+
+
+def test_config_json_roundtrip(tmp_path):
+    """to_json -> from_json is lossless (reference --load_from_opt_file,
+    `tools/options.py:462-522`)."""
+    from ccvs_tpu.config import Config, get_config
+
+    for preset in ("bairhd", "bairhd_state", "kinetics600_p2p", "drums"):
+        cfg = get_config(preset)
+        path = tmp_path / f"{preset}.json"
+        path.write_text(cfg.to_json())
+        cfg2 = Config.load(str(path))
+        assert cfg2 == cfg, preset
