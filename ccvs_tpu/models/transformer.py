@@ -112,6 +112,17 @@ class TokenTransformer:
         """
         cfg = self.cfg
         b = code.shape[0]
+        if self.model.dtype == jnp.bfloat16:
+            # Pre-cast fp32 params ONCE: every decode step otherwise re-reads
+            # the fp32 tree (2x the bytes) and casts in-graph — at 24x1024
+            # that is ~1.2 GB/token of pure HBM traffic. Numerically
+            # identical: every consumer casts params to the compute dtype
+            # anyway.
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
+                params,
+            )
         if cfg.state_size > 0 and state_code is None:
             state_code = jnp.zeros((b, 0), jnp.int32)
         n_state0 = state_code.shape[1] if state_code is not None else 0

@@ -69,6 +69,18 @@ class Matching(nn.Module):
     def __call__(self, x, inter, flow, occ, toff):
         cfg = self.cfg
         use_corr = not cfg.no_corr
+        # At corr_stride > 1 the warped inter is consumed ONLY through
+        # proj -> correlation, and the correlation samples its inputs at
+        # stride positions (`modules/correlation.py:32-100`) — so warp just
+        # those positions (1/stride^2 of the gather) and run the correlation
+        # at stride 1 on the pre-sampled features. Exact: bilinear warp is
+        # per-position, proj is a pointwise 1x1, and the kernel's stride
+        # arithmetic reduces to unit stride on subsampled inputs.
+        fast_strided = (
+            use_corr and self.corr_stride != 1
+            and not cfg.use_masked_flow and not cfg.use_tradeoff
+            and not cfg.use_deformed_conv
+        )
 
         if flow is not None:
             flow = GroupedUpsample(2, dtype=self.dtype, name="upsample_flow")(flow)
@@ -90,7 +102,7 @@ class Matching(nn.Module):
                     inter, flow * self.flow_mult, dw.astype(inter.dtype),
                     db.astype(inter.dtype),
                 )
-            else:
+            elif not fast_strided:
                 inter = backwarp(inter, flow * self.flow_mult)
             if cfg.use_masked_flow:
                 inter = inter * (1.0 - jax.nn.sigmoid(occ))
@@ -104,14 +116,26 @@ class Matching(nn.Module):
                 inter = leaky_relu(inter, 0.1)
 
         if use_corr:
+            if fast_strided:
+                s = self.corr_stride
+                xc = x[:, ::s, ::s]
+                if flow is not None:
+                    from ccvs_tpu.ops import backwarp_sampled
+
+                    ic = backwarp_sampled(inter, flow * self.flow_mult, s)
+                else:
+                    ic = inter[:, ::s, ::s]
+            else:
+                xc, ic = x, inter
             if self.feat_size > 16 and not cfg.no_proj:
                 tgt = max(16, self.feat_size // 4)
                 proj = ConvLayerAE(self.feat_size, tgt, 1, dtype=self.dtype, name="proj")
-                px, pi = proj(x), proj(inter)
+                px, pi = proj(xc), proj(ic)
             else:
-                px, pi = x, inter
+                px, pi = xc, ic
             corr = local_correlation(
-                px.astype(jnp.float32), pi.astype(jnp.float32), stride=self.corr_stride
+                px.astype(jnp.float32), pi.astype(jnp.float32),
+                stride=1 if fast_strided else self.corr_stride,
             )
             corr = leaky_relu(corr, 0.1).astype(x.dtype)
             if self.corr_stride != 1:

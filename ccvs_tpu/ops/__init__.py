@@ -18,7 +18,7 @@ All ops use NHWC layout (TPU-preferred) and are jit/grad-compatible.
 from ccvs_tpu.ops.upfirdn2d import upfirdn2d, make_resample_kernel
 from ccvs_tpu.ops.fused_act import fused_leaky_relu, leaky_relu
 from ccvs_tpu.ops.correlation import local_correlation
-from ccvs_tpu.ops.warp import backwarp, make_backwarp_grid, grid_sample
+from ccvs_tpu.ops.warp import backwarp, backwarp_sampled, make_backwarp_grid, grid_sample
 from ccvs_tpu.ops.vq import vq_lookup, vq_embed
 from ccvs_tpu.ops.convops import conv2d, conv_transpose2d, conv3d
 
@@ -31,6 +31,7 @@ __all__ = [
     "backwarp",
     "make_backwarp_grid",
     "grid_sample",
+    "backwarp_sampled",
     "vq_lookup",
     "vq_embed",
     "conv2d",

@@ -97,6 +97,25 @@ def grid_sample(x, grid):
     return out * inbound[..., None].astype(x.dtype)
 
 
+def backwarp_sampled(x, flow, stride):
+    """``backwarp(x, flow)[:, ::stride, ::stride]`` computed directly.
+
+    Gathers only the stride-sampled output positions (1/stride^2 of the
+    pixels) from the full-resolution source — exact, since bilinear sampling
+    at position p depends only on p's own flow. Used by the cost-volume
+    Matching module, whose correlation reads the warped features at exactly
+    these positions (`modules/correlation.py:32-100` samples
+    ``first[y*stride, x*stride]``).
+    """
+    b, h, w, _ = x.shape
+    grid = make_backwarp_grid(h, w)[::stride, ::stride]
+    fs = flow[:, ::stride, ::stride]
+    fx = fs[..., 0] / ((w - 1) / 2.0)
+    fy = fs[..., 1] / ((h - 1) / 2.0)
+    sample = grid[None] + jnp.stack([fx, fy], axis=-1).astype(jnp.float32)
+    return grid_sample(x, sample)
+
+
 def backwarp(x, flow, grid=None):
     """Warp ``x`` backwards along ``flow`` (pixels), reference semantics.
 

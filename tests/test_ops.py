@@ -274,3 +274,27 @@ def test_flash_decode_attention_interpret(rng):
     att = jax.nn.softmax(jnp.where(mask[None, None], att, -1e9), axis=-1)
     ref = jnp.einsum("bhl,bhld->bhd", att, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_backwarp_sampled_matches_full(rng):
+    """backwarp_sampled(x, flow, s) == backwarp(x, flow)[:, ::s, ::s]."""
+    from ccvs_tpu.ops import backwarp, backwarp_sampled
+
+    x = jnp.asarray(rng.randn(2, 16, 16, 6).astype(np.float32))
+    flow = jnp.asarray(rng.randn(2, 16, 16, 2).astype(np.float32) * 3)
+    full = np.asarray(backwarp(x, flow))[:, ::2, ::2]
+    fast = np.asarray(backwarp_sampled(x, flow, 2))
+    np.testing.assert_allclose(fast, full, rtol=1e-6, atol=1e-6)
+
+
+def test_correlation_stride_equals_presampled(rng):
+    """corr(a, b, stride=2) == corr(a[::2], b[::2], stride=1): the kernel
+    only reads stride-aligned positions (`modules/correlation.py:32-100`),
+    which is what the decoder's fast_strided path exploits."""
+    from ccvs_tpu.ops import local_correlation
+
+    a = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+    want = np.asarray(local_correlation(a, b, stride=2))
+    got = np.asarray(local_correlation(a[:, ::2, ::2], b[:, ::2, ::2], stride=1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

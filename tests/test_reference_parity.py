@@ -113,18 +113,28 @@ def test_quantizer_parity(ref):
     np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
 
 
-def test_decoder_parity_with_contexts(ref):
+AE4 = AutoencoderConfig(
+    necf=8, necf_mult=(1, 2, 4, 8), ndcf=8, ndcf_mult=(1, 2, 4, 8),
+    z_size=16, z_num=32, z_shape=(4, 4), max_dim=32,
+    inter_p=0.5, normalize_out=True,
+)
+
+
+@pytest.mark.parametrize("cfg,dim", [(AE, 16), (AE4, 32)])
+def test_decoder_parity_with_contexts(ref, cfg, dim):
     """Full decoder forward incl. correlation cost volumes, flow warps and
-    confidence fusion over two context frames (`skip_autoencoder.py:414-476`)."""
+    confidence fusion over two context frames (`skip_autoencoder.py:414-476`).
+    The 4-resolution case exercises corr_stride=2 (`:398-401`) and with it
+    the fast_strided sampled-warp path."""
     sa, _, _ = ref
     torch.manual_seed(2)
-    opt = _opt(AE)
+    opt = _opt(cfg)
     enc = sa.SkipGANEncoder(opt).eval()
     dec = sa.SkipGANDecoder(opt).eval()
 
-    x_ctx1 = torch.randn(2, 3, 16, 16) * 0.5
-    x_ctx2 = torch.randn(2, 3, 16, 16) * 0.5
-    z = torch.randn(2, AE.z_size, 4, 4) * 0.2
+    x_ctx1 = torch.randn(2, 3, dim, dim) * 0.5
+    x_ctx2 = torch.randn(2, 3, dim, dim) * 0.5
+    z = torch.randn(2, cfg.z_size, 4, 4) * 0.2
     with torch.no_grad():
         _, inters1 = enc(x_ctx1)
         _, inters2 = enc(x_ctx2)
@@ -132,8 +142,8 @@ def test_decoder_parity_with_contexts(ref):
             z, inter_tgts=[inters1, inters2], return_all=True
         )
 
-    ours = SkipDecoder(AE, dtype=jnp.float32)
-    params = pp.port_decoder(AE, _sd(dec))
+    ours = SkipDecoder(cfg, dtype=jnp.float32)
+    params = pp.port_decoder(cfg, _sd(dec))
     tgts = [
         [_nhwc(f) for f in inters1],
         [_nhwc(f) for f in inters2],
