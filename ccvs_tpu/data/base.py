@@ -397,17 +397,20 @@ class SyntheticDataset(BaseVideoDataset):
         x0, y0 = rng.randint(0, d - 16, 2)
         vx, vy = rng.randint(-3, 4, 2)
         color = rng.randint(64, 255, 3)
-        frames, layouts = [], []
+        frames, layouts, states = [], [], []
         for t in range(self.n_frames):
             f = np.full((d, d, 3), 32, np.uint8)
             x = int(np.clip(x0 + vx * t, 0, d - 16))
             y = int(np.clip(y0 + vy * t, 0, d - 16))
             f[y : y + 16, x : x + 16] = color
             frames.append(f)
+            # square center in [0,1]^2 — the BAIR arm-state analog
+            states.append(np.asarray([(x + 8) / d, (y + 8) / d], np.float32))
             if with_layouts:
                 l = np.zeros((d, d), np.int64)
                 l[y : y + 16, x : x + 16] = 1
                 layouts.append(l)
+        self._last_states = states
         return (frames, layouts) if with_layouts else frames
 
     def __getitem__(self, index):
@@ -427,6 +430,8 @@ class SyntheticDataset(BaseVideoDataset):
                 idxs, delta = self._p2p_select(idxs, rng)
                 out["delta_length"] = np.asarray(delta, np.int32)
             out["vid"] = np.stack([self._transform(frames[i], p) for i in idxs])
+            if cfg.load_state:
+                out["state"] = np.stack([self._last_states[i] for i in idxs])
             if layouts is not None:
                 out["layout"] = np.stack(
                     [self._transform(layouts[i], p, is_seg=True) for i in idxs]
@@ -459,6 +464,8 @@ class SyntheticDataset(BaseVideoDataset):
                     lays[0] = aug[4]
                     lays.append(aug[5])
             out["img"] = np.stack(imgs) if len(imgs) > 1 else imgs[0]
+            if cfg.load_state and n == 1 and not cfg.load_elastic_view:
+                out["state"] = self._last_states[int(sel[0])]
             if lays is not None:
                 out["layout"] = np.stack(lays)[:, None]  # (G, 1, H, W)
         return out

@@ -155,20 +155,23 @@ class FrameAutoencoderTrainer:
             rng = jax.random.fold_in(key, it)
             batch = to_device(next(img_iter), self.mesh)
             state, gm, fake = self.g_step(state, batch, rng, mode="img")
-            state, dm = self.d_step(state, batch, fake, rng, mode="img")
-            if acfg.d_reg_every and it % acfg.d_reg_every == 0:
+            dm = {}
+            if self.di is not None or self.df is not None:
+                state, dm = self.d_step(state, batch, fake, rng, mode="img")
+            if self.di is not None and acfg.d_reg_every and it % acfg.d_reg_every == 0:
                 state, rm = self.r1_step(state, batch, mode="img", rng=rng)
                 gm.update(rm)
 
             if vid_iter is not None and it % acfg.vid_step_every == 0:
                 vbatch = to_device(next(vid_iter), self.mesh)
                 state, gmv, fakev = self.g_step(state, vbatch, rng, mode="vid")
-                state, dmv = self.d_step(state, vbatch, fakev, rng, mode="vid")
-                if acfg.d_reg_every and it % acfg.d_reg_every == 0:
+                if self.dv is not None or self.df is not None:
+                    state, dmv = self.d_step(state, vbatch, fakev, rng, mode="vid")
+                    dm.update(dmv)
+                if self.dv is not None and acfg.d_reg_every and it % acfg.d_reg_every == 0:
                     state, rmv = self.r1_step(state, vbatch, mode="vid")
                     gmv.update(rmv)
                 gm.update(gmv)
-                dm.update(dmv)
 
             state = state.replace(step=jnp.asarray(it + 1, jnp.int32))
             logger.log_scalars({**gm, **dm}, it, prefix="qvid_generator/")
@@ -178,7 +181,8 @@ class FrameAutoencoderTrainer:
                 logger.log_img("qvid_generator/real_img", np.asarray(batch["img"][:16]), 4, it,
                                normalize=True)
                 el = time.time() - t0
-                print(f"iter {it}: g={float(gm['g_loss']):.4f} d={float(dm['d_loss']):.4f} "
+                print(f"iter {it}: g={float(gm['g_loss']):.4f} "
+                      f"d={float(dm.get('d_loss', 0.0)):.4f} "
                       f"({el / max(1, it - start + 1):.2f}s/it)")
             if it % cfg.save_latest_freq == 0 and it > start:
                 ckpt.save("qvid", it, state, latest=True)
