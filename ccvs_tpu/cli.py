@@ -104,6 +104,9 @@ def main(argv=None):
             p.add_argument("--keep-state", action="store_true",
                            help="condition on the true state stream instead of "
                                 "sampling it (reference --keep_state)")
+            p.add_argument("--include-id", action="store_true",
+                           help="name output videos by dataset vid_id "
+                                "(reference --include_id)")
 
     for task in ("eval-fvd", "eval-metrics"):
         p = sub.add_parser(task)
@@ -220,7 +223,8 @@ def _generate(args):
                            keep_state=args.keep_state)
         gen.save_batch(result_path, i, cfg.data.batch_size_vid, vid, out,
                        fps=cfg.data.fps, imagenet_norm=cfg.data.imagenet_norm,
-                       dataset=cfg.data.dataset)
+                       dataset=cfg.data.dataset,
+                       vid_ids=batch.get("vid_id") if args.include_id else None)
     print(f"wrote results to {result_path}")
 
 

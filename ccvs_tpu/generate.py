@@ -227,8 +227,12 @@ class VideoGenerator:
         return self.generate(params, rng, pad, n_ctx_frames=1, rec=False, **kw)
 
     def save_batch(self, result_path, global_iter, batch_size, real_vid, out,
-                   fps=4, imagenet_norm=False, dataset="bairhd"):
-        """Write real/fake/rec videos (`helpers/generator.py:199-230`)."""
+                   fps=4, imagenet_norm=False, dataset="bairhd", vid_ids=None):
+        """Write real/fake/rec videos (`helpers/generator.py:199-230`).
+
+        ``vid_ids``: optional per-sample dataset ids used as file names
+        (reference ``--include_id``, `generator.py:201` — aligns generated
+        clips with their source audio/metadata)."""
         names = {"real": np.asarray(real_vid)}
         if "fake" in out:
             names["fake"] = np.asarray(out["fake"])
@@ -237,7 +241,8 @@ class VideoGenerator:
         for name, vid in names.items():
             u8 = video_io.to_uint8(vid, imagenet_norm=imagenet_norm)
             for i in range(u8.shape[0]):
-                vid_id = batch_size * global_iter + i
+                vid_id = (int(vid_ids[i]) if vid_ids is not None
+                          else batch_size * global_iter + i)
                 path = os.path.join(result_path, name, f"vid_{vid_id:05d}.avi")
                 video_io.write_video(path, u8[i], fps=fps)
         # state-marked copies

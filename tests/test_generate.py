@@ -278,3 +278,14 @@ def test_generate_beam_with_state_tokens(rng):
     tr2 = TokenTransformer(cfg2, dtype=jnp.float32)
     gen3 = tr2.generate(params, jax.random.PRNGKey(1), code, total_len=72)
     assert gen3["code"].shape[1] + gen3["state_code"].shape[1] == 72
+
+
+def test_save_batch_include_id(tmp_path, rng):
+    """vid_ids name the output files (reference --include_id)."""
+    ae, tr, params = _models()
+    gen = VideoGenerator(Config(ae=AE, gpt=GPTC), ae, tr)
+    vid = rng.randn(2, 3, 8, 8, 3).astype(np.float32).clip(-1, 1)
+    gen.save_batch(str(tmp_path), 0, 2, vid, {"fake": vid},
+                   vid_ids=np.asarray([42, 7]))
+    assert (tmp_path / "real" / "vid_00042.avi").exists()
+    assert (tmp_path / "fake" / "vid_00007.avi").exists()
