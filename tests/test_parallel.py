@@ -116,3 +116,35 @@ def test_transformer_trainer_dp4_tp2(tmp_path):
     state = tr.run(n_iter=1)
     assert int(state.step) == 1
     assert np.all(np.isfinite(_leaves(state.params)))
+
+
+def test_dryrun_multichip_step():
+    """The driver's multichip dry run must keep passing under the test mesh
+    (guards `__graft_entry__.dryrun_multichip` against regressions)."""
+    from ccvs_tpu.train.dryrun import run_tiny_multichip_step
+
+    run_tiny_multichip_step(make_mesh(8))
+
+
+def test_transformer_trainer_resume(tmp_path):
+    """latest-checkpoint resume through the real trainer (`--resume`,
+    reference `--cont_train`, `options.py:122`)."""
+    from ccvs_tpu.models import FrameAutoencoder
+    from ccvs_tpu.train.transformer_trainer import TransformerTrainer
+
+    base = _cfg(str(tmp_path))
+    cfg = base.replace(data=dataclasses.replace(base.data, vid_len=2, load_vid_len=None))
+    ae = FrameAutoencoder(cfg.ae, dtype=jnp.float32)
+    ae_params = ae.init(jax.random.PRNGKey(0))
+
+    tr = TransformerTrainer(cfg, ae_params, dtype=jnp.float32, mesh=make_mesh(1))
+    s1 = tr.run(n_iter=2)
+    assert int(s1.step) == 2
+
+    tr2 = TransformerTrainer(cfg, ae_params, dtype=jnp.float32, mesh=make_mesh(1))
+    s2 = tr2.run(n_iter=4, resume=True)
+    assert int(s2.step) == 4
+    # resumed params differ from the step-2 checkpoint (training continued)
+    a = np.concatenate([np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(s1.params)])
+    b = np.concatenate([np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(s2.params)])
+    assert not np.allclose(a, b)
