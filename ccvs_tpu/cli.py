@@ -29,10 +29,10 @@ def _add_common(p):
                    help="path to a saved config.json; overrides --preset "
                         "(reference --load_from_opt_file)")
     p.add_argument("--name", default=None)
-    p.add_argument("--save-path", default="./runs")
+    p.add_argument("--save-path", default=None)
     p.add_argument("--n-iter", type=int, default=None)
     p.add_argument("--dataroot", default=None)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--vgg-npz", default=None, help="vendored VGG19 weights")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--distributed", action="store_true",
@@ -48,15 +48,21 @@ def _config(args):
     from ccvs_tpu.config import Config, get_config
 
     if getattr(args, "load_config", None):
-        cfg = Config.load(args.load_config)
+        cfg = Config.load(args.load_config)  # keeps its recorded save_path/seed
     else:
-        cfg = get_config(args.preset)
-    over = {"save_path": args.save_path, "seed": args.seed}
+        cfg = get_config(args.preset).replace(save_path="./runs")
+    # explicit flags override; omitted flags leave the loaded config intact
+    over = {}
+    if args.save_path is not None:
+        over["save_path"] = args.save_path
+    if args.seed is not None:
+        over["seed"] = args.seed
     if args.name:
         over["name"] = args.name
     if args.n_iter:
         over["n_iter"] = args.n_iter
-    cfg = cfg.replace(**over)
+    if over:
+        cfg = cfg.replace(**over)
     if args.dataroot:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, dataroot=args.dataroot))
     return cfg

@@ -288,7 +288,7 @@ class BaseVideoDataset:
                 lays.append(aug[5])
         out["img"] = np.stack(imgs) if len(imgs) > 1 else imgs[0]
         if lays is not None:
-            out["layout"] = np.stack(lays)[:, None]  # (G, 1, H, W)
+            out["layout"] = np.stack(lays)  # (G, H, W), the loss contract
         if "vid_labels" in self.data:
             out["vid_lbl"] = np.asarray(self.data["vid_labels"][index], np.int32)
         return out
@@ -390,7 +390,11 @@ class SyntheticDataset(BaseVideoDataset):
         super().__init__(cfg, phase, from_vid, load_vid, fold)
         self.size = n_videos
 
-    def _frames(self, index, with_layouts=False):
+    def _frames(self, index, with_layouts=False, with_states=False):
+        """Procedural frames (+ optional layouts / square-center states).
+
+        Everything is returned, never stashed on ``self`` — __getitem__ runs
+        concurrently on PrefetchLoader worker threads."""
         cfg = self.cfg
         d = cfg.true_dim
         rng = np.random.RandomState(index)
@@ -410,18 +414,23 @@ class SyntheticDataset(BaseVideoDataset):
                 l = np.zeros((d, d), np.int64)
                 l[y : y + 16, x : x + 16] = 1
                 layouts.append(l)
-        self._last_states = states
-        return (frames, layouts) if with_layouts else frames
+        out = [frames]
+        if with_layouts:
+            out.append(layouts)
+        if with_states:
+            out.append(states)
+        return out[0] if len(out) == 1 else tuple(out)
 
     def __getitem__(self, index):
         rng = np.random.RandomState(index + (0 if self.phase != "train" else random.randrange(2**31)))
         p = self._aug_params(rng)
         cfg = self.cfg
-        with_lay = cfg.load_layout
-        if with_lay:
-            frames, layouts = self._frames(index % self.n_videos, with_layouts=True)
+        res = self._frames(index % self.n_videos, with_layouts=cfg.load_layout,
+                           with_states=True)
+        if cfg.load_layout:
+            frames, layouts, states = res
         else:
-            frames = self._frames(index % self.n_videos)
+            frames, states = res
             layouts = None
         out = {}
         if self.load_vid:
@@ -431,7 +440,7 @@ class SyntheticDataset(BaseVideoDataset):
                 out["delta_length"] = np.asarray(delta, np.int32)
             out["vid"] = np.stack([self._transform(frames[i], p) for i in idxs])
             if cfg.load_state:
-                out["state"] = np.stack([self._last_states[i] for i in idxs])
+                out["state"] = np.stack([states[i] for i in idxs])
             if layouts is not None:
                 out["layout"] = np.stack(
                     [self._transform(layouts[i], p, is_seg=True) for i in idxs]
@@ -465,9 +474,9 @@ class SyntheticDataset(BaseVideoDataset):
                     lays.append(aug[5])
             out["img"] = np.stack(imgs) if len(imgs) > 1 else imgs[0]
             if cfg.load_state and n == 1 and not cfg.load_elastic_view:
-                out["state"] = self._last_states[int(sel[0])]
+                out["state"] = states[int(sel[0])]
             if lays is not None:
-                out["layout"] = np.stack(lays)[:, None]  # (G, 1, H, W)
+                out["layout"] = np.stack(lays)  # (G, H, W), the loss contract
         return out
 
 
@@ -491,11 +500,16 @@ def create_dataset(cfg: DataConfig, phase="train", from_vid=None, load_vid=False
 
 def group_collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     """Concatenate image groups along batch; stack everything else
-    (`data/__init__.py:59-67`)."""
+    (`data/__init__.py:59-67`). Layouts follow their quadrant: image-group
+    items ((G, H, W) next to a (G, H, W, 3) img) concatenate like the images;
+    video items ((T, H, W) next to a vid) stack into (B, T, H, W)."""
     out = {}
+    img_quadrant = "img" in items[0]
     for key in items[0]:
         vals = [it[key] for it in items]
-        if key in ("img", "mask_img", "flow_img", "layout") and vals[0].ndim == 4:
+        if key in ("img", "mask_img", "flow_img") and vals[0].ndim == 4:
+            out[key] = np.concatenate(vals, axis=0)
+        elif key == "layout" and img_quadrant:
             out[key] = np.concatenate(vals, axis=0)
         else:
             out[key] = np.stack(vals, axis=0)

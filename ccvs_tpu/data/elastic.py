@@ -268,14 +268,16 @@ def get_augmentation(img, dim, p: ElasticParams, rng=None, layout=None):
     return out
 
 
-def _resize(img, tgt):
-    """Bilinear resize (H, W, C) -> tgt via PIL."""
+def _resize(img, tgt, method=None):
+    """Per-channel PIL resize (H, W, C) -> tgt; bilinear unless ``method``
+    (segmentation maps pass Image.NEAREST)."""
     from PIL import Image
 
+    method = Image.BILINEAR if method is None else method
     chans = [
         np.asarray(
             Image.fromarray(img[..., c].astype(np.float32), mode="F").resize(
-                (tgt[1], tgt[0]), Image.BILINEAR
+                (tgt[1], tgt[0]), method
             )
         )
         for c in range(img.shape[-1])
@@ -284,15 +286,6 @@ def _resize(img, tgt):
 
 
 def _resize_nearest(img, tgt):
-    """Nearest resize (H, W, C) -> tgt (segmentation maps)."""
     from PIL import Image
 
-    chans = [
-        np.asarray(
-            Image.fromarray(img[..., c].astype(np.float32), mode="F").resize(
-                (tgt[1], tgt[0]), Image.NEAREST
-            )
-        )
-        for c in range(img.shape[-1])
-    ]
-    return np.stack(chans, axis=-1)
+    return _resize(img, tgt, Image.NEAREST)

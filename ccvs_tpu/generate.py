@@ -258,7 +258,8 @@ class VideoGenerator:
                         x = min(int(h * st[i, j, 0]), h - 1)
                         y = min(int(h * st[i, j, 1]), h - 1)
                         marked[j] = video_io.draw_cross(marked[j], x, y)
-                    vid_id = batch_size * global_iter + i
+                    vid_id = (int(vid_ids[i]) if vid_ids is not None
+                              else batch_size * global_iter + i)
                     path = os.path.join(result_path, name, f"vid_{vid_id:05d}.avi")
                     video_io.write_video(path, marked, fps=fps)
 

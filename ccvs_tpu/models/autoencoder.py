@@ -323,11 +323,9 @@ class FrameAutoencoder:
         if self.dtype == jnp.bfloat16:
             # pre-cast fp32 params once: the per-frame step programs otherwise
             # re-read the fp32 tree and cast in-graph every frame
-            params = jax.tree_util.tree_map(
-                lambda p: p.astype(jnp.bfloat16)
-                if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
-                params,
-            )
+            from ccvs_tpu.utils.casting import cast_params_bf16
+
+            params = cast_params_bf16(params)
         b, t = codes.shape[0], codes.shape[1]
         m = cfg.skip_memory
         z_all = self.embed_code(params, codes)  # (B, T, h, w, z)

@@ -113,16 +113,12 @@ class TokenTransformer:
         cfg = self.cfg
         b = code.shape[0]
         if self.model.dtype == jnp.bfloat16:
-            # Pre-cast fp32 params ONCE: every decode step otherwise re-reads
-            # the fp32 tree (2x the bytes) and casts in-graph — at 24x1024
-            # that is ~1.2 GB/token of pure HBM traffic. Numerically
-            # identical: every consumer casts params to the compute dtype
-            # anyway.
-            params = jax.tree_util.tree_map(
-                lambda p: p.astype(jnp.bfloat16)
-                if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
-                params,
-            )
+            # Pre-cast fp32 params ONCE (per-step in-graph casts re-read the
+            # fp32 tree — ~1.2 GB/token at 24x1024); ln_f stays fp32 for
+            # decode_step_fn's fp32 final LayerNorm.
+            from ccvs_tpu.utils.casting import cast_params_bf16
+
+            params = cast_params_bf16(params)
         if cfg.state_size > 0 and state_code is None:
             state_code = jnp.zeros((b, 0), jnp.int32)
         n_state0 = state_code.shape[1] if state_code is not None else 0
@@ -212,9 +208,18 @@ class TokenTransformer:
             return code, state_code
 
         if cfg.beam_size is not None and cfg.beam_size > 1:
+            # first generated FRAME position: hypotheses must take `beam`
+            # DISTINCT tokens there or greedy beam search degenerates to
+            # clones (state tokens sample identically across beams)
+            kind_np = np.asarray(sched.kind[:L])
+            frame_free = [
+                p for p in range(start, L)
+                if kind_np[p] == KIND_FRAME and not covered[p]
+            ]
+            beam_start = frame_free[0] if frame_free else -1
             merged = self._fill_beam_jit(
                 params, rng, merged, start, jnp.asarray(covered), kind, s_idx, t_idx,
-                cond_code, delta, lbl,
+                cond_code, delta, lbl, beam_start,
             )
         else:
             merged = self._fill_jit(
@@ -328,18 +333,20 @@ class TokenTransformer:
         return merged
 
 
-    @partial(jax.jit, static_argnums=(0, 4))
+    @partial(jax.jit, static_argnums=(0, 4, 12))
     def _fill_beam_jit(self, params, rng, merged, start, given, kind, s_idx, t_idx,
-                       cond_code, delta, lbl):
+                       cond_code, delta, lbl, beam_start=-1):
         """Beam-search fill (`transformer_model.py:358-391`).
 
-        Hypotheses are folded into the batch axis (B*beam). With sampling
-        (the reference default), the first generated position draws ``beam``
-        distinct tokens (Gumbel top-k = sampling without replacement), later
-        positions sample one token per hypothesis and accumulate log-probs;
-        the best hypothesis per batch element wins at the end. With
-        ``no_sample``, each step expands beam^2 candidates, prunes to the top
-        beam by cumulative log-prob, and reorders the KV cache accordingly.
+        Hypotheses are folded into the batch axis (B*beam). At the first
+        generated FRAME position (static ``beam_start``) every batch element
+        takes ``beam`` DISTINCT tokens (Gumbel top-k = sampling without
+        replacement; plain top-k when greedy) — interleaved state tokens
+        before it sample identically across the still-identical beams. Later
+        frame positions sample one token per hypothesis and accumulate
+        log-probs, or with ``no_sample`` expand beam^2 candidates, prune to
+        the top beam, and reorder the KV cache. The best hypothesis per batch
+        element wins at the end.
         """
         cfg = self.cfg
         model = self.model
@@ -472,9 +479,28 @@ class TokenTransformer:
                 tok = jax.lax.dynamic_index_in_dim(merged_b, j, axis=1, keepdims=False)
                 return merged_b, cache, log_p, tok.astype(jnp.int32)
 
-            case = jnp.where(given[j], 2, jnp.where(kind[j] == KIND_STATE, 1, 0))
+            def diversify_case(op):
+                # first generated FRAME position: `beam` distinct tokens per
+                # batch element (beams are still identical clones here when
+                # preceded only by state tokens)
+                merged_b, cache, log_p = op
+                lp0 = lp[::beam]  # (b, V) — rows identical across beams
+                if cfg.sample and not getattr(cfg, "no_sample", False):
+                    g = -jnp.log(-jnp.log(jax.random.uniform(sub, lp0.shape) + 1e-20) + 1e-20)
+                    _, tok = jax.lax.top_k(lp0 + g, beam)
+                else:
+                    _, tok = jax.lax.top_k(lp0, beam)
+                tok = tok.reshape(bb)
+                ilp = jnp.take_along_axis(lp0, tok.reshape(b, beam), axis=1).reshape(bb)
+                return merged_b, cache, log_p + ilp, tok.astype(jnp.int32)
+
+            case = jnp.where(
+                given[j], 2,
+                jnp.where(kind[j] == KIND_STATE, 1, jnp.where(j == beam_start, 3, 0)),
+            )
             merged_b, cache, new_log_p, tok = jax.lax.switch(
-                case, [frame_case, state_case, given_case], (merged_b, cache, log_p)
+                case, [frame_case, state_case, given_case, diversify_case],
+                (merged_b, cache, log_p),
             )
             merged_b = jax.lax.dynamic_update_index_in_dim(merged_b, tok, j, axis=1)
             emb1 = model.apply(

@@ -91,10 +91,36 @@ def vq_indices_pallas(z, codebook, interpret=False):
     return idx[:n, 0]
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _indices_nograd(z, codebook, interpret=False):
+    """Argmin indices with an explicit zero-gradient rule.
+
+    `pallas_call` has no JVP rule, so tracing the kernel under `jax.grad`
+    (the quantizer sits inside every AE train step) would crash; the argmin
+    is piecewise-constant anyway, so the correct gradient is zero and the
+    differentiable part of the lookup (`take(codebook, idx)`) lives outside
+    the kernel.
+    """
+    return vq_indices_pallas(z, codebook, interpret=interpret)
+
+
+def _indices_fwd(z, codebook, interpret=False):
+    return vq_indices_pallas(z, codebook, interpret=interpret), (z, codebook)
+
+
+def _indices_bwd(interpret, res, g):
+    z, codebook = res
+    return jnp.zeros_like(z), jnp.zeros_like(codebook)
+
+
+_indices_nograd.defvjp(_indices_fwd, _indices_bwd)
+
+
 def vq_lookup_pallas(z, codebook, interpret=False):
-    """Drop-in fused replacement for `ccvs_tpu.ops.vq.vq_lookup`."""
+    """Drop-in fused replacement for `ccvs_tpu.ops.vq.vq_lookup`
+    (differentiable wrt ``codebook`` through the `take`, like the jnp path)."""
     lead = z.shape[:-1]
     zf = z.reshape(-1, z.shape[-1])
-    idx = vq_indices_pallas(zf, codebook, interpret=interpret)
+    idx = _indices_nograd(zf, codebook, interpret)
     z_q = jnp.take(codebook, idx, axis=0).astype(z.dtype)
     return z_q.reshape(z.shape), idx.reshape(lead)

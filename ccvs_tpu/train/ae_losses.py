@@ -410,8 +410,9 @@ class AELosses:
             real_img = real_img[jnp.asarray(no_corr)]
         real_score = None
         if cfg.use_di:
-            ri = aug_fn(real_img) if aug_fn is not None else real_img
-            fi = aug_fn(fake_img) if aug_fn is not None else fake_img
+            # independent ADA draws for real and fake (`:639-640`)
+            ri = aug_fn(real_img, 0) if aug_fn is not None else real_img
+            fi = aug_fn(fake_img, 1) if aug_fn is not None else fake_img
             fake_score = self.di.apply({"params": disc["di"]}, jax.lax.stop_gradient(fi))
             real_score = self.di.apply({"params": disc["di"]}, ri)
             d = gl.DISCRIMINATOR_LOSSES[cfg.gan_loss](real_score, fake_score) * cfg.lambda_gan

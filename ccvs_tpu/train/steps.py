@@ -52,7 +52,10 @@ def make_ae_steps(losses: AELosses, vgg_params, aug_fn=None):
     def _aug(state, rng):
         if not cfg.use_aug or aug_fn is None:
             return None
-        return lambda x: aug_fn(rng, x, state.ada_p)
+        # `salt` lets one call site draw independent transforms for real vs
+        # fake (the reference advances its global RNG between the two calls,
+        # `quantized_video_model.py:639-640`)
+        return lambda x, salt=0: aug_fn(jax.random.fold_in(rng, salt), x, state.ada_p)
 
     def g_step(state, batch, rng, mode: str):
         aug = _aug(state, jax.random.fold_in(rng, 1))

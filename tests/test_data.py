@@ -70,9 +70,10 @@ def test_synthetic_layouts_img_group_with_elastic():
     cfg = _cfg(load_elastic_view=True, elastic_alpha=1.0, elastic_sigma=0.2)
     ds = SyntheticDataset(cfg, phase="train")
     item = ds[0]
-    # [ctx, other, distorted] images; layouts follow (`base_dataset.py:313-318`)
+    # [ctx, other, distorted] images; layouts follow (`base_dataset.py:313-318`;
+    # shape matches the img-loss layout contract, tests/test_train.py)
     assert item["img"].shape == (3, 16, 16, 3)
-    assert item["layout"].shape == (3, 1, 16, 16)
+    assert item["layout"].shape == (3, 16, 16)
     assert item["layout"].dtype == np.int64
     assert set(np.unique(item["layout"])) <= {0, 1}
 
@@ -102,3 +103,40 @@ def test_loader_propagates_worker_exception():
     loader = PrefetchLoader(Bad(), batch_size=2, num_workers=1)
     with pytest.raises(ValueError, match="boom"):
         next(iter(loader))
+
+
+def test_img_layout_batch_feeds_layout_loss():
+    """Dataset -> collate -> img loss integration for layout twins: the
+    (G, H, W) layout batches must flow through img_generator_loss without
+    rank errors (regression: a stray T axis broke the z_q/zl_q concat)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ccvs_tpu.config import AutoencoderConfig
+    from ccvs_tpu.data.base import group_collate
+    from ccvs_tpu.models import FrameAutoencoder
+    from ccvs_tpu.train.ae_losses import AELosses
+
+    ae_cfg = AutoencoderConfig(
+        necf=8, necf_mult=(1, 2), ndcf=8, ndcf_mult=(1, 2),
+        z_size=16, z_num=32, z_shape=(8, 8), max_dim=16,
+        inter_p=0.5, skip_memory=2, skip_context=(1, 2),
+        use_di=False, use_dv=False, use_vgg_img=False,
+        use_direct_recovery_img=True, slide_inter=True, n_consecutive_img=2,
+        use_layout=True, layout_size=2, same_decoder_layout=True,
+    )
+    data_cfg = _cfg(n_consecutive_img=2)
+    ds = SyntheticDataset(data_cfg, phase="train")
+    batch = group_collate([ds[0], ds[1]])
+    assert batch["img"].shape == (4, 16, 16, 3)
+    assert batch["layout"].shape == (4, 16, 16)
+
+    ae = FrameAutoencoder(ae_cfg, dtype=jnp.float32)
+    losses = AELosses(ae_cfg, ae)
+    gen = ae.init(jax.random.PRNGKey(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    loss, (m, fake) = losses.img_generator_loss(gen, None, None, jb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert "layout_img" in m and "layout_quant_img" in m

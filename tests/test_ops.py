@@ -298,3 +298,24 @@ def test_correlation_stride_equals_presampled(rng):
     want = np.asarray(local_correlation(a, b, stride=2))
     got = np.asarray(local_correlation(a[:, ::2, ::2], b[:, ::2, ::2], stride=1))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_vq_pallas_grad_matches_jnp(rng):
+    """jax.grad through the Pallas VQ path must work (the quantizer sits in
+    every AE train step) and match the jnp path's gradients: the argmin has
+    an explicit zero-vjp, the take(codebook, idx) carries the real gradient."""
+    from ccvs_tpu.ops.vq import vq_lookup, vq_loss, vq_st
+    from ccvs_tpu.ops.vq_pallas import vq_lookup_pallas
+
+    z = jnp.asarray(rng.randn(32, 16).astype(np.float32))
+    cb0 = jnp.asarray(rng.randn(32, 16).astype(np.float32))
+
+    def loss(cb, lookup):
+        z_q, _ = lookup(z, cb)
+        return vq_loss(z, z_q) + jnp.sum(vq_st(z, z_q) ** 2) * 1e-3
+
+    g_pallas = jax.grad(lambda cb: loss(cb, lambda a, b: vq_lookup_pallas(a, b, interpret=True)))(cb0)
+    g_jnp = jax.grad(lambda cb: loss(cb, vq_lookup))(cb0)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_jnp),
+                               rtol=1e-5, atol=1e-6)
+    assert float(jnp.abs(g_jnp).sum()) > 0  # gradient actually flows
