@@ -80,6 +80,12 @@ def test_cli_full_pipeline(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "psnr" in out and np.isfinite(out["psnr"])
 
+    # 5. FVD CLI over the same videos (fallback embedder; relative value)
+    cli.main(["eval-fvd", "--real", str(real_dir), "--fake", str(fake_dir),
+              "--chunk", "2"])
+    fvd_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "fvd" in fvd_out and np.isfinite(fvd_out["fvd"])
+
 
 def test_state_trainer_runs(tmp_path):
     from ccvs_tpu.models import FrameAutoencoder
