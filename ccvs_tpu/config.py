@@ -262,6 +262,10 @@ class TransformerConfig:
     top_k_state: Optional[int] = None
     beam_size: Optional[int] = None
 
+    # opt-in int8 weight-quantized AR decode (serving; see nn/quantized.py).
+    # Default off: the exact bf16 path is the parity/bench path.
+    serve_int8: bool = False
+
     dtype: str = "bfloat16"
 
     @property

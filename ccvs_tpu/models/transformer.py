@@ -119,6 +119,11 @@ class TokenTransformer:
             from ccvs_tpu.utils.casting import cast_params_bf16
 
             params = cast_params_bf16(params)
+        self._qparams = None
+        if cfg.serve_int8:
+            from ccvs_tpu.nn.quantized import quantize_gpt_int8
+
+            self._qparams = quantize_gpt_int8(params)
         if cfg.state_size > 0 and state_code is None:
             state_code = jnp.zeros((b, 0), jnp.int32)
         n_state0 = state_code.shape[1] if state_code is not None else 0
@@ -220,11 +225,12 @@ class TokenTransformer:
             merged = self._fill_beam_jit(
                 params, rng, merged, start, jnp.asarray(covered), kind, s_idx, t_idx,
                 cond_code, delta, lbl, beam_start,
+                getattr(self, "_qparams", None),
             )
         else:
             merged = self._fill_jit(
                 params, rng, merged, start, jnp.asarray(covered), kind, s_idx, t_idx,
-                cond_code, delta, lbl,
+                cond_code, delta, lbl, getattr(self, "_qparams", None),
             )
 
         out_code = jnp.take(merged, jnp.asarray(sched.frame_pos[sched.frame_pos < L]), axis=1)
@@ -244,10 +250,16 @@ class TokenTransformer:
 
     @partial(jax.jit, static_argnums=(0, 4))
     def _fill_jit(self, params, rng, merged, start, given, kind, s_idx, t_idx,
-                  cond_code, delta, lbl):
+                  cond_code, delta, lbl, qparams=None):
         cfg = self.cfg
         b, L = merged.shape
         model = self.model
+        if qparams is not None:
+            from ccvs_tpu.nn.quantized import decode_step_fn_int8
+
+            step_decode = partial(decode_step_fn_int8, cfg, params, qparams)
+        else:
+            step_decode = partial(decode_step_fn, cfg, params)
 
         prefix_len = 0
         if cfg.cat and lbl is not None:
@@ -319,9 +331,8 @@ class TokenTransformer:
                 {"params": params}, tok, kind[j], s_idx[j], t_idx[j],
                 method=GPT.embed_one,
             )[:, None]
-            new_logits, cache = decode_step_fn(
-                cfg, params, emb1, prefix_len + j, cache, dtype=model.dtype
-            )
+            new_logits, cache = step_decode(emb1, prefix_len + j, cache,
+                                            dtype=model.dtype)
             return (merged, cache, new_logits, rng), None
 
         # (A cache-length-segmented variant — short cache slices for early
@@ -335,7 +346,7 @@ class TokenTransformer:
 
     @partial(jax.jit, static_argnums=(0, 4, 12))
     def _fill_beam_jit(self, params, rng, merged, start, given, kind, s_idx, t_idx,
-                       cond_code, delta, lbl, beam_start=-1):
+                       cond_code, delta, lbl, beam_start=-1, qparams=None):
         """Beam-search fill (`transformer_model.py:358-391`).
 
         Hypotheses are folded into the batch axis (B*beam). At the first
@@ -352,6 +363,12 @@ class TokenTransformer:
         model = self.model
         beam = cfg.beam_size
         b, L = merged.shape
+        if qparams is not None:
+            from ccvs_tpu.nn.quantized import decode_step_fn_int8
+
+            step_decode = partial(decode_step_fn_int8, cfg, params, qparams)
+        else:
+            step_decode = partial(decode_step_fn, cfg, params)
 
         prefix_len = (cond_code.shape[1] if cond_code is not None else 0) + (
             1 if cfg.use_start_token else 0
@@ -380,7 +397,7 @@ class TokenTransformer:
         def logprobs(logits):
             lg = logits.astype(jnp.float32)[:, : cfg.z_num] / cfg.temperature
             if cfg.top_k is not None:
-                vals, _ = jax.lax.top_k(lg, cfg.top_k)
+                vals, _ = jax.lax.top_k(lg, min(cfg.top_k, lg.shape[-1]))
                 lg = jnp.where(lg < vals[:, -1:], -jnp.inf, lg)
             return jax.nn.log_softmax(lg, axis=-1)
 
@@ -425,9 +442,8 @@ class TokenTransformer:
             {"params": params}, tok0, kind[start], s_idx[start], t_idx[start],
             method=GPT.embed_one,
         )[:, None]
-        logits, cache = decode_step_fn(
-            cfg, params, emb1, prefix_len + start, cache, dtype=model.dtype
-        )
+        logits, cache = step_decode(emb1, prefix_len + start, cache,
+                                    dtype=model.dtype)
 
         def step(carry, j):
             merged_b, cache, logits, log_p, rng = carry
@@ -506,9 +522,8 @@ class TokenTransformer:
             emb1 = model.apply(
                 {"params": params}, tok, kind[j], s_idx[j], t_idx[j], method=GPT.embed_one
             )[:, None]
-            new_logits, cache = decode_step_fn(
-                cfg, params, emb1, prefix_len + j, cache, dtype=model.dtype
-            )
+            new_logits, cache = step_decode(emb1, prefix_len + j, cache,
+                                            dtype=model.dtype)
             return (merged_b, cache, new_logits, new_log_p, rng), None
 
         (merged_b, _, _, log_p, _), _ = jax.lax.scan(
