@@ -113,6 +113,10 @@ def main(argv=None):
             p.add_argument("--include-id", action="store_true",
                            help="name output videos by dataset vid_id "
                                 "(reference --include_id)")
+            p.add_argument("--serve-int8", action="store_true",
+                           help="int8 weight-quantized AR decode (1.5x "
+                                "tokens/sec; sampling distribution shifts "
+                                "slightly vs the exact bf16 path)")
 
     for task in ("eval-fvd", "eval-metrics"):
         p = sub.add_parser(task)
@@ -196,6 +200,8 @@ def _generate(args):
     from ccvs_tpu.utils.checkpoint import CheckpointManager
 
     cfg = _config(args)
+    if getattr(args, "serve_int8", False):
+        cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, serve_int8=True))
     ae = FrameAutoencoder(cfg.ae)
     tr = TokenTransformer(cfg.gpt)
     params = {"ae": _load_ae_params(args, cfg)}
@@ -224,9 +230,11 @@ def _generate(args):
             batch = next(it)
         vid = jnp.asarray(batch["vid"])
         rng, sub = jax.random.split(rng)
+        # --rec-only: reconstruction-quality runs, no AR generation
+        # (the old wiring inverted this and disabled rec instead)
         out = gen.generate(params, sub, vid, stft=batch.get("stft"),
-                           vid_lbl=batch.get("vid_lbl"), rec=not args.rec_only,
-                           keep_state=args.keep_state)
+                           vid_lbl=batch.get("vid_lbl"), rec=True,
+                           fake=not args.rec_only, keep_state=args.keep_state)
         gen.save_batch(result_path, i, cfg.data.batch_size_vid, vid, out,
                        fps=cfg.data.fps, imagenet_norm=cfg.data.imagenet_norm,
                        dataset=cfg.data.dataset,

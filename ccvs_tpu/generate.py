@@ -39,7 +39,7 @@ class VideoGenerator:
         self.stft_model = stft_model
 
     def generate(self, params, rng, real_vid, stft=None, vid_lbl=None,
-                 rec=True, n_ctx_frames: Optional[int] = None,
+                 rec=True, fake=True, n_ctx_frames: Optional[int] = None,
                  keep_state: bool = False, custom_state=None,
                  down_size: Optional[int] = None):
         """Synthesise videos continuing `real_vid`'s first context frames.
@@ -52,6 +52,8 @@ class VideoGenerator:
 
         Returns:
           dict(fake=(B, T, H, W, 3) [, rec=..., state=..., fake_state=...]).
+          With ``fake=False`` the AR generation is skipped entirely
+          (reference ``--rec_only``: reconstruction-quality runs).
         """
         cfg = self.cfg
         gcfg, acfg = cfg.gpt, cfg.ae
@@ -134,27 +136,28 @@ class VideoGenerator:
         if state_code is not None and not keep_state_stream:
             state_code = state_code[:, : n_ctx_frames * gcfg.state_size]
 
-        gen = self.transformer.generate(
-            params["gpt"], rng, ctx_code, state_code=state_code,
-            cond_code=cond_code, delta=delta, lbl=vid_lbl, total_len=total_len,
-        )
-
-        n_frames = t_step
-        codes = gen["code"][:, : n_frames * size].reshape(b, n_frames, size)
-        fake = self.ae.decode_video(
-            params["ae"], codes, ctx_frames=ctx_vid[:, :n_ctx_frames],
-            n_ctx=n_ctx_frames, cond_inter=cond_inter,
-        )
-        if gcfg.p2p:
-            # the real end frame closes the clip (`generator.py:166-167`)
-            fake = jnp.concatenate([fake, real_vid[:, -1:]], axis=1)
-        out["fake"] = fake
-
-        if gen.get("state_code") is not None and self.state_model is not None and not gcfg.stft:
-            sc = gen["state_code"][:, : t * gcfg.state_size]
-            out["fake_state"] = self.state_model.decode(params["state"], sc).reshape(
-                b, t, gcfg.state_size
+        if fake:
+            gen = self.transformer.generate(
+                params["gpt"], rng, ctx_code, state_code=state_code,
+                cond_code=cond_code, delta=delta, lbl=vid_lbl, total_len=total_len,
             )
+
+            n_frames = t_step
+            codes = gen["code"][:, : n_frames * size].reshape(b, n_frames, size)
+            fake_vid = self.ae.decode_video(
+                params["ae"], codes, ctx_frames=ctx_vid[:, :n_ctx_frames],
+                n_ctx=n_ctx_frames, cond_inter=cond_inter,
+            )
+            if gcfg.p2p:
+                # the real end frame closes the clip (`generator.py:166-167`)
+                fake_vid = jnp.concatenate([fake_vid, real_vid[:, -1:]], axis=1)
+            out["fake"] = fake_vid
+
+            if gen.get("state_code") is not None and self.state_model is not None and not gcfg.stft:
+                sc = gen["state_code"][:, : t * gcfg.state_size]
+                out["fake_state"] = self.state_model.decode(params["state"], sc).reshape(
+                    b, t, gcfg.state_size
+                )
 
         if rec:
             out["rec"] = self.ae.decode_video(

@@ -86,6 +86,22 @@ def test_cli_full_pipeline(tmp_path, capsys):
     fvd_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "fvd" in fvd_out and np.isfinite(fvd_out["fvd"])
 
+    # 6. quantized serving path through the CLI (full AR generation)
+    cli.main(["generate", "--load-config", str(cfg_path),
+              "--save-path", str(tmp_path), "--name", "clitiny8",
+              "--n-batches", "1", "--serve-int8",
+              "--ae-ckpt", str(ae_ckpt), "--gpt-ckpt", str(ae_ckpt)])
+    assert (tmp_path / "results" / "clitiny8" / "fake").is_dir()
+
+    # 7. --rec-only skips the AR generation entirely (reference --rec_only)
+    cli.main(["generate", "--load-config", str(cfg_path),
+              "--save-path", str(tmp_path), "--name", "clitinyrec",
+              "--n-batches", "1", "--rec-only",
+              "--ae-ckpt", str(ae_ckpt), "--gpt-ckpt", str(ae_ckpt)])
+    recres = tmp_path / "results" / "clitinyrec"
+    assert (recres / "rec").is_dir()
+    assert not (recres / "fake").exists()
+
 
 def test_state_trainer_runs(tmp_path):
     from ccvs_tpu.models import FrameAutoencoder
