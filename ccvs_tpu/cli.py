@@ -155,7 +155,7 @@ def main(argv=None):
         from ccvs_tpu.train.state_trainer import StftAutoencoderTrainer
 
         cfg = _config(args)
-        StftAutoencoderTrainer(cfg, mesh=_mesh(args)).run()
+        StftAutoencoderTrainer(cfg, mesh=_mesh(args), vgg_npz=args.vgg_npz).run()
 
     elif args.task == "generate":
         _generate(args)

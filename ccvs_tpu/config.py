@@ -182,6 +182,10 @@ class AutoencoderConfig:
 
     # runtime
     dtype: str = "bfloat16"  # compute dtype for conv trunk
+    # rematerialize the heavy sub-forwards (encoder/decoder/VGG/D) inside the
+    # training losses: recompute activations in backward instead of storing
+    # them — fits the full 256^2 BAIR batch in one 16 GB chip's HBM
+    remat: bool = False
 
     @property
     def num_resolutions(self) -> int:
@@ -229,6 +233,10 @@ class TransformerConfig:
     embd_pdrop: float = 0.0
     resid_pdrop: float = 0.0
     attn_pdrop: float = 0.0
+
+    # beam: deterministic expand-prune instead of sampled beams (reference
+    # --x_no_sample greedy beam, `transformer_model.py:361-382`)
+    no_sample: bool = False
 
     # conditioning modes
     p2p: bool = False

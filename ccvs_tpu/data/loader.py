@@ -16,12 +16,30 @@ import numpy as np
 from ccvs_tpu.data.base import group_collate
 
 
+def host_shard_spec():
+    """(process_index, process_count) under multi-host SPMD, else None.
+
+    The TPU-native stand-in for the reference's DistributedSampler rank split
+    (`tools/engine.py:81-101`): each host process loads only its stride of
+    the global index; `parallel.mesh.put_batch` then assembles the global
+    batch with `jax.make_array_from_process_local_data`."""
+    import jax
+
+    pc = jax.process_count()
+    return (jax.process_index(), pc) if pc > 1 else None
+
+
 class PrefetchLoader:
+    """``batch_size`` is the GLOBAL batch; under multi-host each process
+    loads ``batch_size / n_hosts`` samples of it (disjoint by index stride,
+    deterministic: every host shuffles the full index with the same
+    seed+epoch before taking its stride)."""
+
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 8, prefetch: int = 2, drop_last: bool = True,
-                 collate: Callable = group_collate, seed: int = 0):
+                 collate: Callable = group_collate, seed: int = 0,
+                 host_shard="auto"):
         self.dataset = dataset
-        self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
@@ -29,15 +47,30 @@ class PrefetchLoader:
         self.collate = collate
         self.seed = seed
         self.epoch = 0
+        self.host_shard = host_shard_spec() if host_shard == "auto" else host_shard
+        if self.host_shard is not None:
+            hid, nh = self.host_shard
+            if batch_size % nh:
+                raise ValueError(f"global batch {batch_size} not divisible by "
+                                 f"{nh} hosts")
+            self.batch_size = batch_size // nh
+        else:
+            self.batch_size = batch_size
 
     def __len__(self):
         n = len(self.dataset)
+        if self.host_shard is not None:
+            hid, nh = self.host_shard
+            n = len(range(hid, n, nh))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _index_order(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        if self.host_shard is not None:
+            hid, nh = self.host_shard
+            idx = idx[hid::nh]
         return idx
 
     def __iter__(self) -> Iterator[dict]:

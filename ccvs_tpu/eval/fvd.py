@@ -175,21 +175,43 @@ def embeddings_from_videos(vids: np.ndarray, embed: Callable, batch: int = 16,
     return np.concatenate(outs)
 
 
+_UNCAL_WARNING = (
+    "=" * 70 + "\n"
+    "WARNING: no vendored I3D weights -- FVD computed with a RANDOM embedder.\n"
+    "The numbers are self-consistent (usable for tracking relative progress)\n"
+    "but NOT comparable to published I3D-FVD. Export real weights with\n"
+    "`python -m ccvs_tpu.port.export_i3d` and pass --i3d-npz.\n" + "=" * 70
+)
+
+
 def fvd_from_videos(real: np.ndarray, fake: np.ndarray, embed: Optional[Callable] = None,
                     i3d_npz: Optional[str] = None, chunk: Optional[int] = None,
                     resize: Optional[int] = 224) -> dict:
     """FVD between two video sets; mean/std over ``chunk``-sized groups when
-    requested (`tf_fvd/fvd.py:216-230`)."""
+    requested (`tf_fvd/fvd.py:216-230`).
+
+    Without vendored I3D weights (``embed``/``i3d_npz`` absent) the random
+    fallback embedder is used: the warning shouts and every output key is
+    suffixed ``_uncalibrated`` so the numbers can't be mistaken for
+    published-protocol FVD."""
+    calibrated = embed is not None or bool(i3d_npz and os.path.exists(i3d_npz))
     if embed is None:
-        embed = make_i3d_embedder(i3d_npz) if i3d_npz else make_fallback_embedder()
+        if calibrated:
+            embed = make_i3d_embedder(i3d_npz)
+        else:
+            import sys
+
+            print(_UNCAL_WARNING, file=sys.stderr)
+            embed = make_fallback_embedder()
+    key = "fvd" if calibrated else "fvd_uncalibrated"
     a = embeddings_from_videos(real, embed, resize=resize)
     b = embeddings_from_videos(fake, embed, resize=resize)
-    out = {"fvd": frechet_distance(a, b)}
+    out = {key: frechet_distance(a, b)}
     if chunk:
         vals = [
             frechet_distance(a[i : i + chunk], b[i : i + chunk])
             for i in range(0, len(a) - chunk + 1, chunk)
         ]
-        out["fvd_mean"] = float(np.mean(vals))
-        out["fvd_std"] = float(np.std(vals))
+        out[key + "_mean"] = float(np.mean(vals))
+        out[key + "_std"] = float(np.std(vals))
     return out

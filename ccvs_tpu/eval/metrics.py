@@ -63,27 +63,39 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0, win_size: int = 
 class LPIPS:
     """Perceptual distance over unit-normalized VGG features.
 
-    Standard LPIPS formulation with uniform linear weights; exact AlexNet/VGG
-    LPIPS calibration requires vendored weights (`nn/vgg.py` docstring).
-    Inputs in [-1, 1]; small images are upscaled to >=161px like the reference
-    (`tools/pytorch_metrics/metrics.py:115-124`).
+    With an npz from ``ccvs_tpu.port.export_lpips`` (VGG16 backbone + the
+    standard per-slice linear channel weights of the richzhang `lin` 'vgg'
+    checkpoint), this is the calibrated LPIPS the reference scores with piq
+    (`tools/pytorch_metrics/metrics.py:12,46`). A plain VGG19/VGG16 npz gives
+    uncalibrated (uniform-weight) distances; no npz at all falls back to
+    random filters with a loud warning. Inputs in [-1, 1]; small images are
+    upscaled to >=161px like the reference (`metrics.py:115-124`).
     """
 
     def __init__(self, vgg_npz: Optional[str] = None, key=None):
+        self.lins = None
+        self.arch = "vgg19"
         if vgg_npz and os.path.exists(vgg_npz):
-            self.params = vgg_mod.load_vgg19_npz(vgg_npz)
+            self.params, self.arch, self.lins = vgg_mod.load_vgg_npz(vgg_npz)
         else:
+            vgg_mod.warn_fallback("LPIPS")
             self.params = vgg_mod.init_random(key or jax.random.PRNGKey(0))
+        self.calibrated = self.lins is not None
         self._fn = jax.jit(self._dist)
 
     def _dist(self, a, b):
-        fa = vgg_mod.features(self.params, a)
-        fb = vgg_mod.features(self.params, b)
+        fa = vgg_mod.features(self.params, a, arch=self.arch)
+        fb = vgg_mod.features(self.params, b, arch=self.arch)
         total = 0.0
-        for x, y in zip(fa, fb):
+        for k, (x, y) in enumerate(zip(fa, fb)):
             xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-10)
             yn = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-10)
-            total = total + jnp.mean(jnp.sum((xn - yn) ** 2, axis=-1), axis=(1, 2))
+            sq = (xn - yn) ** 2
+            if self.lins is not None:
+                # calibrated: 1x1-conv channel weighting, then spatial mean
+                total = total + jnp.mean(jnp.sum(sq * self.lins[k], axis=-1), axis=(1, 2))
+            else:
+                total = total + jnp.mean(jnp.sum(sq, axis=-1), axis=(1, 2))
         return total
 
     def __call__(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -122,8 +134,9 @@ def video_metrics(real_vids: np.ndarray, fake_vids: np.ndarray,
         a = real_vids[i][list(ts)] * 2 - 1
         b = fake_vids[i][list(ts)] * 2 - 1
         lps.extend(lp(a, b).tolist())
+    lpips_key = "lpips" if lp.calibrated else "lpips_uncalibrated"
     return {
         "psnr": float(np.mean(psnrs)),
         "ssim": float(np.mean(ssims)),
-        "lpips": float(np.mean(lps)),
+        lpips_key: float(np.mean(lps)),
     }

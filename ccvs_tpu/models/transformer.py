@@ -408,7 +408,7 @@ class TokenTransformer:
 
         def first_frame(_):
             lp0 = logprobs(logits0)[::beam]  # (b, V) — beams identical after prefill
-            if cfg.sample and not getattr(cfg, "no_sample", False):
+            if cfg.sample and not cfg.no_sample:
                 g = -jnp.log(-jnp.log(jax.random.uniform(sub, lp0.shape) + 1e-20) + 1e-20)
                 _, tok0 = jax.lax.top_k(lp0 + g, beam)  # sampling w/o replacement
             else:
@@ -501,7 +501,7 @@ class TokenTransformer:
                 # preceded only by state tokens)
                 merged_b, cache, log_p = op
                 lp0 = lp[::beam]  # (b, V) — rows identical across beams
-                if cfg.sample and not getattr(cfg, "no_sample", False):
+                if cfg.sample and not cfg.no_sample:
                     g = -jnp.log(-jnp.log(jax.random.uniform(sub, lp0.shape) + 1e-20) + 1e-20)
                     _, tok = jax.lax.top_k(lp0 + g, beam)
                 else:
@@ -570,17 +570,68 @@ class ContinuousTransformer:
         return mse, {"nll": mse}
 
     def generate(self, params, code, total_len, normalize_pred=False):
-        """Greedy continuous rollout (`transformer_model.py:344-348`)."""
-        n0 = code.shape[1]
-        for _ in range(total_len - n0):
-            pred = self.model.apply({"params": params}, code, single=True)
-            if self.cfg.n_proposals > 1:
-                logits, props = pred
-                best = jnp.argmax(logits[:, -1], axis=-1)
-                pred = jnp.take_along_axis(
-                    props[:, -1], best[:, None, None], axis=1
-                )
+        """Greedy continuous rollout (`transformer_model.py:344-348`).
+
+        One jitted program: KV-cache prefill over the context, then a
+        ``lax.scan`` of single-token cached decode steps (the discrete path's
+        `decode_step_fn`) — not the reference's per-token O(T^2) full
+        forwards."""
+        key = (code.shape, int(total_len), bool(normalize_pred))
+        if getattr(self, "_gen_cache", None) is None:
+            self._gen_cache = {}
+        if key not in self._gen_cache:
+            self._gen_cache[key] = jax.jit(
+                partial(self._generate_impl, total_len=int(total_len),
+                        normalize_pred=bool(normalize_pred))
+            )
+        return self._gen_cache[key](params, code)
+
+    def _generate_impl(self, params, code, total_len, normalize_pred):
+        from ccvs_tpu.nn.gpt import CGPT, cache_to_layers, decode_step_fn
+
+        cfg = self.cfg
+        model = self.model
+        b, n0, nin = code.shape
+        L = total_len
+        buf = jnp.zeros((b, L, nin), code.dtype).at[:, :n0].set(code)
+
+        def pick(out):
+            """Head output for one position -> (B, n_in) prediction."""
+            if cfg.n_proposals > 1:
+                o = out.reshape(b, cfg.n_proposals, cfg.n_in + 1)
+                best = jnp.argmax(o[..., 0], axis=-1)
+                pred = jnp.take_along_axis(o[..., 1:], best[:, None, None], axis=1)[:, 0]
+            else:
+                pred = out
             if normalize_pred:
                 pred = pred / jnp.linalg.norm(pred, axis=-1, keepdims=True)
-            code = jnp.concatenate([code, pred.reshape(code.shape[0], 1, -1)], axis=1)
-        return code
+            return pred.astype(buf.dtype)
+
+        cache = model.apply({"params": params}, b, L, method=CGPT.init_cache)
+        emb = model.apply({"params": params}, buf, method=CGPT.embed)
+        out, cache = model.apply({"params": params}, emb, cache, method=CGPT.prefill)
+        if cfg.n_proposals > 1:
+            logits, props = out
+            out = jnp.concatenate(
+                [logits[..., None], props], axis=-1).reshape(b, L, -1)
+        buf = buf.at[:, n0].set(pick(out[:, n0 - 1]))
+        if L <= n0 + 1:
+            return buf
+        cache = cache_to_layers(cache)
+
+        pe = params["pos_emb"][0]  # (z_len, D)
+        wk = params["tok_emb"]["kernel"]
+        bk = params["tok_emb"]["bias"]
+
+        def step(carry, j):
+            buf, cache = carry
+            x_prev = jax.lax.dynamic_slice_in_dim(buf, j - 1, 1, axis=1)
+            emb1 = (x_prev @ wk + bk + pe[j - 1][None, None]).astype(model.dtype)
+            out1, cache = decode_step_fn(cfg, params, emb1, j - 1, cache,
+                                         dtype=model.dtype)
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, pick(out1)[:, None], j, axis=1)
+            return (buf, cache), None
+
+        (buf, _), _ = jax.lax.scan(step, (buf, cache), jnp.arange(n0 + 1, L))
+        return buf

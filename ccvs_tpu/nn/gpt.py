@@ -497,27 +497,55 @@ def _infer_schedule(cfg: TransformerConfig, n_frame_tokens: int, n_state_tokens:
 
 
 class CGPT(nn.Module):
-    """Continuous-embedding GPT with multi-proposal head (`mingpt.py:308-361`)."""
+    """Continuous-embedding GPT with multi-proposal head (`mingpt.py:308-361`).
+
+    Setup-style so cached generation can reuse the same machinery as the
+    discrete GPT (``init_cache`` / ``prefill`` + the pure
+    :func:`decode_step_fn`, whose param paths — ``core``/``head`` — match)."""
 
     cfg: TransformerConfig
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, single=False, deterministic=True):
+    def setup(self):
         cfg = self.cfg
-        b, t, _ = x.shape
-        h = nn.Dense(cfg.n_embd, dtype=self.dtype, param_dtype=jnp.float32, name="tok_emb")(x)
-        pos_emb = self.param("pos_emb", nn.initializers.zeros, (1, cfg.z_len, cfg.n_embd), jnp.float32)
-        h = h + pos_emb[:, :t].astype(self.dtype)
-        h, _ = GPTCore(cfg, dtype=self.dtype, name="core")(h, deterministic=deterministic)
-        if single:
-            h = h[:, -1:]
+        self.tok_emb = nn.Dense(cfg.n_embd, dtype=self.dtype, param_dtype=jnp.float32)
+        self.pos_emb = self.param(
+            "pos_emb", nn.initializers.zeros, (1, cfg.z_len, cfg.n_embd), jnp.float32)
+        self.core = GPTCore(cfg, dtype=self.dtype)
         logits_size = cfg.n_proposals if cfg.n_proposals > 1 else 0
-        out = nn.Dense(
+        self.head = nn.Dense(
             cfg.n_proposals * cfg.n_in + logits_size, use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32, name="head",
-        )(h)
-        if cfg.n_proposals > 1:
-            out = out.reshape(b, out.shape[1], cfg.n_proposals, cfg.n_in + 1)
+            dtype=self.dtype, param_dtype=jnp.float32)
+
+    def _head_out(self, h):
+        b = h.shape[0]
+        out = self.head(h)
+        if self.cfg.n_proposals > 1:
+            out = out.reshape(b, out.shape[1], self.cfg.n_proposals, self.cfg.n_in + 1)
             return out[..., 0], out[..., 1:]
         return out
+
+    def __call__(self, x, single=False, deterministic=True):
+        h = self.embed(x)
+        h, _ = self.core(h, deterministic=deterministic)
+        if single:
+            h = h[:, -1:]
+        return self._head_out(h)
+
+    def embed(self, x):
+        """(B, T, n_in) -> (B, T, D) input embeddings from position 0."""
+        return self.tok_emb(x) + self.pos_emb[:, : x.shape[1]].astype(self.dtype)
+
+    def init_cache(self, b, max_len, dtype=None):
+        cfg = self.cfg
+        dtype = dtype or self.dtype
+        nh, hd = cfg.n_head, cfg.n_embd // cfg.n_head
+        max_len = -(-max_len // 128) * 128
+        shape = (cfg.n_layer, b, nh, max_len, hd)
+        return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def prefill(self, emb, cache):
+        """Run the (placeholder-padded) sequence once, filling the cache;
+        causality makes positions < the real prefix length exact."""
+        x, new_cache = self.core(emb, cache=cache, index=0, deterministic=True)
+        return self._head_out(x), new_cache

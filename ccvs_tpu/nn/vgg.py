@@ -24,18 +24,23 @@ _CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M", 512, 512, 512, 512,
 # slice boundaries in feature-layer indices (perceptual.py:10-24):
 # slice1: layers [0,2), slice2: [2,7), slice3: [7,12), slice4: [12,21), slice5: [21,30)
 _SLICE_ENDS = [2, 7, 12, 21, 30]
+# vgg16 variant: the backbone of the standard LPIPS 'vgg' calibration
+# (reference scores LPIPS via piq, `tools/pytorch_metrics/metrics.py:12,46`,
+# whose net is torchvision VGG16 sliced at relu{1_2,2_2,3_3,4_3,5_3})
+_CFG16 = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512, "M"]
+_SLICE_ENDS16 = [4, 9, 16, 23, 30]
 _WEIGHTS = [1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0]
 
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def _layer_plan():
-    """[(kind, in_ch, out_ch)] for torchvision vgg19.features[0:30]."""
+def _layer_plan(arch: str = "vgg19"):
+    """[(kind, in_ch, out_ch)] for torchvision ``{arch}.features[0:30]``."""
     plan = []
     in_ch = 3
     idx = 0
-    for c in _CFG:
+    for c in (_CFG if arch == "vgg19" else _CFG16):
         if c == "M":
             plan.append(("pool", None, None))
             idx += 1
@@ -49,11 +54,25 @@ def _layer_plan():
     return plan[:30]
 
 
-def init_random(key) -> dict:
+def warn_fallback(context: str):
+    """Shout when a caller falls back to random filters, so nobody mistakes
+    the resulting numbers for pretrained-VGG ones."""
+    import sys
+
+    print(
+        "=" * 70 + f"\nWARNING: no vendored VGG19 weights -- {context} uses FIXED "
+        "RANDOM filters.\nUsable for training signal / relative tracking, NOT "
+        "comparable to the\nreference's pretrained-VGG results. Export with "
+        "`python -m ccvs_tpu.port.export_vgg`\nand pass --vgg-npz.\n" + "=" * 70,
+        file=sys.stderr,
+    )
+
+
+def init_random(key, arch: str = "vgg19") -> dict:
     """He-init fixed random filters (fallback when no vendored weights)."""
     params = {}
     i = 0
-    for kind, cin, cout in _layer_plan():
+    for kind, cin, cout in _layer_plan(arch):
         if kind == "conv":
             key, sub = jax.random.split(key)
             w = jax.random.normal(sub, (cout, cin, 3, 3), jnp.float32)
@@ -63,35 +82,57 @@ def init_random(key) -> dict:
     return params
 
 
-def load_vgg19_npz(path: str) -> dict:
-    """Load weights exported by `python -m ccvs_tpu.port.export_vgg`."""
+def detect_arch(raw) -> str:
+    """vgg19 has a conv at features[16]; vgg16 has a pool there."""
+    return "vgg19" if "features.16.weight" in raw else "vgg16"
+
+
+def load_vgg_npz(path: str, arch: Optional[str] = None):
+    """Load weights exported by `ccvs_tpu.port.export_vgg` (either arch) or
+    `ccvs_tpu.port.export_lpips` (vgg16 + lin calibration).
+
+    Returns ``(params, arch, lins)``; ``lins`` is the list of per-slice LPIPS
+    linear channel weights, or None when the npz carries none."""
     raw = np.load(path)
+    arch = arch or detect_arch(raw)
     params = {}
     i = 0
-    for kind, cin, cout in _layer_plan():
+    for kind, cin, cout in _layer_plan(arch):
         if kind == "conv":
             params[f"conv{i}"] = {
                 "weight": jnp.asarray(raw[f"features.{i}.weight"]),
                 "bias": jnp.asarray(raw[f"features.{i}.bias"]),
             }
         i += 1
-    return params
+    lins = None
+    if "lin0" in raw:
+        lins = [jnp.asarray(raw[f"lin{k}"]).reshape(-1) for k in range(5)]
+    return params, arch, lins
+
+
+def load_vgg19_npz(path: str) -> dict:
+    """Back-compat wrapper: vgg19 params only."""
+    return load_vgg_npz(path, arch="vgg19")[0]
 
 
 def _maxpool2x(x):
     b, h, w, c = x.shape
+    # odd sizes: drop the last row/col (torch MaxPool2d floor semantics)
+    x = x[:, : h // 2 * 2, : w // 2 * 2]
     return x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
 
 
-def features(params: dict, x: jnp.ndarray) -> List[jnp.ndarray]:
+def features(params: dict, x: jnp.ndarray, arch: str = "vgg19") -> List[jnp.ndarray]:
     """Five slice activations for NHWC input in [-1, 1]."""
     # [-1,1] -> imagenet normalization (reference feeds imagenet-normalized
-    # tensors; our pipeline uses [-1,1], convert here)
+    # tensors; our pipeline uses [-1,1], convert here). This equals the LPIPS
+    # ScalingLayer (shift = 2*mean-1, scale = 2*std on [-1,1] inputs).
     x = (x.astype(jnp.float32) + 1.0) * 0.5
     x = (x - _MEAN) / _STD
     outs = []
     i = 0
-    for kind, cin, cout in _layer_plan():
+    ends = _SLICE_ENDS if arch == "vgg19" else _SLICE_ENDS16
+    for kind, cin, cout in _layer_plan(arch):
         if kind == "conv":
             p = params[f"conv{i}"]
             x = conv2d(x, p["weight"], p["bias"], stride=1, padding=1)
@@ -100,7 +141,7 @@ def features(params: dict, x: jnp.ndarray) -> List[jnp.ndarray]:
         else:
             x = _maxpool2x(x)
         i += 1
-        if i in _SLICE_ENDS:
+        if i in ends:
             outs.append(x)
     return outs
 

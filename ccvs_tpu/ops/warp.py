@@ -42,6 +42,47 @@ def _unnormalize(x, grid):
     return ix, iy, y0f, x0f, wx, wy, inbound
 
 
+def _grid_sample_planes(x, grid):
+    """Bilinear sampling for SMALL channel counts (RGB & co).
+
+    The slice-gather path's patch tensor ``(N, 2, 2, C)`` tile-pads its tiny
+    minor dims to the TPU (8, 128) tile — a measured 64x HBM expansion at
+    C=3 (12.6 GB for 201 MB of patches inside the ADA warp). Here channels
+    ride the batch dim instead: four scalar flat `take`s per corner over
+    ``(B*C, (H+2)*(W+2))`` planes, so every live tensor keeps a large minor
+    dimension. Numerics identical to :func:`grid_sample`.
+    """
+    b, hin, win, c = x.shape
+    _, hout, wout, _ = grid.shape
+    ix, iy, y0f, x0f, wx, wy, inbound = _unnormalize(x, grid)
+
+    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    planes = p.transpose(0, 3, 1, 2).reshape(b * c, (hin + 2) * (win + 2))
+    y0 = jnp.clip(y0f, -1, hin - 1).astype(jnp.int32) + 1
+    x0 = jnp.clip(x0f, -1, win - 1).astype(jnp.int32) + 1
+    base = (y0 * (win + 2) + x0).reshape(b, hout * wout)
+    base_bc = jnp.repeat(base, c, axis=0)  # (B*C, N) — plane order is b-major
+
+    def take(off):
+        return jax.vmap(lambda pl, i: jnp.take(pl, i, axis=0))(planes, base_bc + off)
+
+    v00 = take(0)
+    v01 = take(1)
+    v10 = take(win + 2)
+    v11 = take(win + 3)
+
+    n = hout * wout
+    wxf = jnp.repeat(wx.reshape(b, n), c, axis=0).astype(x.dtype)
+    wyf = jnp.repeat(wy.reshape(b, n), c, axis=0).astype(x.dtype)
+    one = jnp.asarray(1.0, x.dtype)
+    top = v00 * (one - wxf) + v01 * wxf
+    bot = v10 * (one - wxf) + v11 * wxf
+    out = top * (one - wyf) + bot * wyf
+    mask = jnp.repeat(inbound.reshape(b, n), c, axis=0).astype(x.dtype)
+    out = out * mask
+    return out.reshape(b, c, hout, wout).transpose(0, 2, 3, 1)
+
+
 def grid_sample(x, grid):
     """Bilinear sampling with zero padding, ``align_corners=False``.
 
@@ -51,6 +92,8 @@ def grid_sample(x, grid):
     (which materialized a (H+1, W+1, 4C) concat — a 4x HBM write — before a
     row-gather); numerically identical to torch `grid_sample(
     mode='bilinear', padding_mode='zeros', align_corners=False)`.
+    Small channel counts (C < 8) dispatch to :func:`_grid_sample_planes`,
+    whose live tensors avoid the (2, 2, C)-minor tile-padding blowup.
 
     Args:
       x: ``(B, Hin, Win, C)``.
@@ -62,6 +105,8 @@ def grid_sample(x, grid):
     from jax import lax
 
     b, hin, win, c = x.shape
+    if c < 8:
+        return _grid_sample_planes(x, grid)
     _, hout, wout, _ = grid.shape
     ix, iy, y0f, x0f, wx, wy, inbound = _unnormalize(x, grid)
 

@@ -62,6 +62,19 @@ def put_batch(mesh: Optional[Mesh], batch):
     n = mesh.shape["data"]
     dsh = data_sharding(mesh)
     repl = replicate(mesh)
+    pc = jax.process_count()
+    if pc > 1:
+        # multi-host: each process holds only its PrefetchLoader shard
+        # (global_batch / pc rows); assemble the global array without any
+        # cross-host transfer — rows land on the local devices
+        # (SURVEY section 2.8; reference per-rank split `tools/engine.py:81-101`).
+        def put(x):
+            x = np.asarray(x)
+            if x.ndim >= 1 and x.shape[0] > 0 and (x.shape[0] * pc) % n == 0:
+                return jax.make_array_from_process_local_data(dsh, x)
+            return jax.make_array_from_process_local_data(repl, x)
+
+        return jax.tree_util.tree_map(put, batch)
 
     def put(x):
         x = jnp.asarray(x)

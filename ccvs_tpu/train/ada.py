@@ -178,18 +178,22 @@ def apply_color(img, C):
     return jnp.einsum("bhwc,bdc->bhwd", img, mul) + add[:, None, None, :]
 
 
-def apply_affine(img, G, kernel=SYM6):
+def apply_affine(img, G, kernel=SYM6, pad_frac=0.25):
     """Geometric warp with 2x wavelet up/downsampling (`non_leaking.py:388-447`).
 
     ``G`` maps output coords to input coords (the reference inverts the
     sampled matrix before calling this; :func:`augment` does the same).
-    Fixed worst-case reflect padding replaces the per-batch dynamic padding.
+    Fixed reflect padding of ``pad_frac``*size replaces the reference's
+    per-batch dynamic padding (`get_padding`, clamped to width-1): XLA needs
+    a static canvas, and 1/4 covers the cascade's typical extent (integer +
+    fractional translate are ±0.125 each; rarer large scale/rotation combos
+    sample into the reflected border instead of a wider one — at 256^2 a
+    half-size pad would make the 2x canvas 1024^2 and blow HBM).
     """
     b, h, w, c = img.shape
     len_k = kernel.shape[0]
     pad_k = len_k // 4
-    # worst-case pad (reference clamps to width-1/height-1)
-    pad_x, pad_y = w // 2, h // 2
+    pad_x, pad_y = int(w * pad_frac), int(h * pad_frac)
     img_pad = jnp.pad(img, ((0, 0), (pad_y, pad_y), (pad_x, pad_x), (0, 0)), mode="reflect")
 
     # 2x upsample with sym6 (separable)

@@ -88,9 +88,21 @@ class AELosses:
 
     # ---------- encode helpers ----------
 
+    def _ckpt(self, fn):
+        """`jax.checkpoint` the sub-forward when ``cfg.remat`` is on.
+
+        At the full 256^2 BAIR batch, the stored encoder/decoder/VGG/D
+        activations for backward exceed one v5e chip's 16 GB HBM (measured
+        17.7 GB for the image g-step); rematerializing them trades ~1/3 more
+        forward FLOPs for fitting on-chip — the standard TPU trade
+        (`jax.checkpoint`), with no reference counterpart (torch keeps the
+        96-image global batch split over 4 GPUs, `tools/engine.py:88`)."""
+        return jax.checkpoint(fn) if self.cfg.remat else fn
+
     def _encode_q(self, gen, img):
         ae = self.ae
-        z, inter_enc = ae.encoder.apply({"params": gen["encoder"]}, img.astype(ae.dtype))
+        enc = self._ckpt(lambda p, x: ae.encoder.apply({"params": p}, x))
+        z, inter_enc = enc(gen["encoder"], img.astype(ae.dtype))
         zf = z.astype(jnp.float32)
         if self.cfg.is_continuous:
             return zf, None, inter_enc
@@ -159,13 +171,11 @@ class AELosses:
                 jax.random.uniform(rng, (z_q.shape[0],)) >= cfg.inter_drop_p
             ).astype(jnp.float32)
 
-        fake_img, fake_layout, inter_flows, inter_occs, inter_dec = ae.decoder.apply(
-            {"params": gen["decoder"]},
-            z_q.astype(ae.dtype),
-            [inter_tgt],
-            return_all=True,
-            keep_mask=keep_mask,
-        )
+        dec = self._ckpt(
+            lambda p, z, it, km: ae.decoder.apply(
+                {"params": p}, z, it, return_all=True, keep_mask=km))
+        fake_img, fake_layout, inter_flows, inter_occs, inter_dec = dec(
+            gen["decoder"], z_q.astype(ae.dtype), [inter_tgt], keep_mask)
         fake_img = fake_img.astype(jnp.float32)
 
         # layout decode + CE (`quantized_video_model.py:337-349`)
@@ -243,14 +253,15 @@ class AELosses:
 
         # perceptual (`:410-413`)
         if cfg.use_vgg_img and vgg_params is not None:
-            v = vgg_mod.vgg_loss(vgg_params, fake_img, real_tgt) * cfg.lambda_vgg
+            v = self._ckpt(vgg_mod.vgg_loss)(vgg_params, fake_img, real_tgt) * cfg.lambda_vgg
             loss += v
             metrics["vgg_img"] = v
 
         # adversarial (`:416-421`); ADA augments the fake before D (`:418`)
         if cfg.use_di and disc is not None:
             di_in = aug_fn(fake_img) if aug_fn is not None else fake_img
-            score = self.di.apply({"params": disc["di"]}, di_in)
+            score = self._ckpt(lambda p, x: self.di.apply({"params": p}, x))(
+                disc["di"], di_in)
             adv = gl.GENERATOR_LOSSES[cfg.gan_loss](score) * cfg.lambda_gan
             loss += adv
             metrics["gen_img"] = adv
@@ -312,14 +323,14 @@ class AELosses:
         fakes = [real_vid[:, 0]]
         fake_layouts = []
         curr = 1
+        dec = self._ckpt(
+            lambda p, z, it: ae.decoder.apply({"params": p}, z, it))
+        enc = self._ckpt(lambda p, x: ae.encoder.apply({"params": p}, x))
         for i in range(1, cfg.vid_len - delta):
             inter_tgts = [inters[-dt] for dt in cfg.skip_context if dt <= curr]
-            fake_img, fake_layout_img = ae.decoder.apply(
-                {"params": gen["decoder"]}, z_q[:, i].astype(ae.dtype), inter_tgts
-            )
-            _, new_inter = ae.encoder.apply(
-                {"params": gen["encoder"]}, fake_img
-            )
+            fake_img, fake_layout_img = dec(
+                gen["decoder"], z_q[:, i].astype(ae.dtype), inter_tgts)
+            _, new_inter = enc(gen["encoder"], fake_img)
             if use_layout:
                 # re-encode the layout logits as soft layout
                 # (`quantized_video_model.py:538-543`)
@@ -357,12 +368,13 @@ class AELosses:
             loss += rec
 
         if cfg.use_vgg_vid and vgg_params is not None:
-            v = vgg_mod.vgg_loss(vgg_params, fake_flat, real_flat) * cfg.lambda_vgg
+            v = self._ckpt(vgg_mod.vgg_loss)(vgg_params, fake_flat, real_flat) * cfg.lambda_vgg
             loss += v
             metrics["vgg_vid"] = v
 
         if cfg.use_dv and disc is not None:
-            score = self.dv.apply({"params": disc["dv"]}, fake_vid)
+            score = self._ckpt(lambda p, x: self.dv.apply({"params": p}, x))(
+                disc["dv"], fake_vid)
             adv = gl.GENERATOR_LOSSES[cfg.gan_loss](score) * cfg.lambda_gan
             loss += adv
             metrics["gen_vid"] = adv
@@ -413,8 +425,9 @@ class AELosses:
             # independent ADA draws for real and fake (`:639-640`)
             ri = aug_fn(real_img, 0) if aug_fn is not None else real_img
             fi = aug_fn(fake_img, 1) if aug_fn is not None else fake_img
-            fake_score = self.di.apply({"params": disc["di"]}, jax.lax.stop_gradient(fi))
-            real_score = self.di.apply({"params": disc["di"]}, ri)
+            di = self._ckpt(lambda p, x: self.di.apply({"params": p}, x))
+            fake_score = di(disc["di"], jax.lax.stop_gradient(fi))
+            real_score = di(disc["di"], ri)
             d = gl.DISCRIMINATOR_LOSSES[cfg.gan_loss](real_score, fake_score) * cfg.lambda_gan
             loss += d
             metrics["dis_img"] = d
@@ -432,8 +445,9 @@ class AELosses:
         metrics = {}
         loss = 0.0
         if cfg.use_dv:
-            fs = self.dv.apply({"params": disc["dv"]}, jax.lax.stop_gradient(fake_vid))
-            rs = self.dv.apply({"params": disc["dv"]}, real_vid)
+            dv = self._ckpt(lambda p, x: self.dv.apply({"params": p}, x))
+            fs = dv(disc["dv"], jax.lax.stop_gradient(fake_vid))
+            rs = dv(disc["dv"], real_vid)
             d = gl.DISCRIMINATOR_LOSSES[cfg.gan_loss](rs, fs)
             loss += d
             metrics["dis_vid"] = d

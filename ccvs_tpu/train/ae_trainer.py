@@ -51,6 +51,7 @@ class FrameAutoencoderTrainer:
             if vgg_npz and os.path.exists(vgg_npz):
                 self.vgg_params = vgg_mod.load_vgg19_npz(vgg_npz)
             else:
+                vgg_mod.warn_fallback("the perceptual loss")
                 self.vgg_params = vgg_mod.init_random(key)
         else:
             self.vgg_params = None
@@ -62,9 +63,11 @@ class FrameAutoencoderTrainer:
             aug_fn = ada_augment
         steps = make_ae_steps(self.losses, self.vgg_params, aug_fn=aug_fn)
         self.init_state, self._g, self._d, self._r1 = steps
-        self.g_step = jax.jit(self._g, static_argnames=("mode",))
-        self.d_step = jax.jit(self._d, static_argnames=("mode",))
-        self.r1_step = jax.jit(self._r1, static_argnames=("mode",))
+        # donate the train state: in-place param/opt updates instead of a
+        # second ~2 GB live copy per step (matters at the 256^2 BAIR config)
+        self.g_step = jax.jit(self._g, static_argnames=("mode",), donate_argnums=(0,))
+        self.d_step = jax.jit(self._d, static_argnames=("mode",), donate_argnums=(0,))
+        self.r1_step = jax.jit(self._r1, static_argnames=("mode",), donate_argnums=(0,))
 
     def init_params(self, key):
         acfg = self.cfg.ae
@@ -115,7 +118,27 @@ class FrameAutoencoderTrainer:
             )
         return img_loader, vid_loader
 
-    def run(self, n_iter=None, resume=False, profile_dir=None):
+    def make_rec_eval(self):
+        """Jitted held-out reconstruction eval: returns ``(rec, psnr)`` for an
+        image batch in [-1, 1]. Used for the rec-PSNR convergence trend the
+        reference only exposes through tensorboard grids
+        (`quantized_video_model.py:430-455`)."""
+
+        def _eval(gen, img):
+            rec = self.ae.reconstruct(gen, img).astype(jnp.float32)
+            mse = jnp.mean((rec - img) ** 2, axis=(1, 2, 3))
+            psnr = jnp.mean(10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-10)))
+            return rec, psnr
+
+        return jax.jit(_eval)
+
+    def run(self, n_iter=None, resume=False, profile_dir=None, eval_every=0,
+            snapshot_every=0, serialize_steps=False):
+        """``serialize_steps``: force a tiny device->host transfer after each
+        jitted step. TPU temp workspaces are allocated at enqueue, so at
+        memory-bound configs (256^2 BAIR on one 16 GB chip) letting g/d/r1
+        enqueue back-to-back overlaps their scratch and OOMs at runtime;
+        the ~30 ms sync serializes scratch lifetimes."""
         cfg = self.cfg
         acfg = cfg.ae
         n_iter = n_iter or cfg.n_iter
@@ -142,6 +165,19 @@ class FrameAutoencoderTrainer:
         img_iter = iter(cycle_loader(img_loader))
         vid_iter = iter(cycle_loader(vid_loader)) if vid_loader else None
 
+        rec_eval = eval_batch = None
+        if eval_every:
+            # fixed held-out batch: first valid-phase image batch (no elastic)
+            import dataclasses as _dc
+
+            eval_cfg = _dc.replace(cfg.data, load_elastic_view=False,
+                                   n_consecutive_img=1)
+            eval_ds = create_dataset(eval_cfg, phase="valid", load_vid=False)
+            n_eval = min(16, len(eval_ds))
+            eval_batch = jnp.asarray(
+                np.stack([eval_ds[i]["img"] for i in range(n_eval)]))
+            rec_eval = self.make_rec_eval()
+
         from ccvs_tpu.utils import profiling
 
         t0 = time.time()
@@ -153,23 +189,31 @@ class FrameAutoencoderTrainer:
                 profiling.device_sync(state.gen)
                 jax.profiler.stop_trace()
             rng = jax.random.fold_in(key, it)
+            sync = (lambda m: np.asarray(m["g_loss" if "g_loss" in m else next(iter(m))])) \
+                if serialize_steps else (lambda m: None)
             batch = to_device(next(img_iter), self.mesh)
             state, gm, fake = self.g_step(state, batch, rng, mode="img")
+            sync(gm)
             dm = {}
             if self.di is not None or self.df is not None:
                 state, dm = self.d_step(state, batch, fake, rng, mode="img")
+                sync(dm)
             if self.di is not None and acfg.d_reg_every and it % acfg.d_reg_every == 0:
                 state, rm = self.r1_step(state, batch, mode="img", rng=rng)
+                sync(rm)
                 gm.update(rm)
 
             if vid_iter is not None and it % acfg.vid_step_every == 0:
                 vbatch = to_device(next(vid_iter), self.mesh)
                 state, gmv, fakev = self.g_step(state, vbatch, rng, mode="vid")
+                sync(gmv)
                 if self.dv is not None or self.df is not None:
                     state, dmv = self.d_step(state, vbatch, fakev, rng, mode="vid")
+                    sync(dmv)
                     dm.update(dmv)
                 if self.dv is not None and acfg.d_reg_every and it % acfg.d_reg_every == 0:
                     state, rmv = self.r1_step(state, vbatch, mode="vid")
+                    sync(rmv)
                     gmv.update(rmv)
                 gm.update(gmv)
 
@@ -184,6 +228,15 @@ class FrameAutoencoderTrainer:
                 print(f"iter {it}: g={float(gm['g_loss']):.4f} "
                       f"d={float(dm.get('d_loss', 0.0)):.4f} "
                       f"({el / max(1, it - start + 1):.2f}s/it)")
+            if rec_eval is not None and it % eval_every == 0:
+                rec, psnr = rec_eval(state.ema if acfg.use_ema else state.gen,
+                                     eval_batch)
+                logger.log_scalars({"rec_psnr": float(psnr),
+                                    "ada_p": float(state.ada_p)}, it,
+                                   prefix="qvid_eval/")
+                if snapshot_every and it % snapshot_every == 0:
+                    _save_snapshot(os.path.join(log_path, "snapshots"), it,
+                                   np.asarray(eval_batch[:8]), np.asarray(rec[:8]))
             if it % cfg.save_latest_freq == 0 and it > start:
                 ckpt.save("qvid", it, state, latest=True)
             if cfg.save_freq > 0 and it % cfg.save_freq == 0 and it > start:
@@ -191,6 +244,17 @@ class FrameAutoencoderTrainer:
         ckpt.save("qvid", n_iter, state, latest=True)
         logger.close()
         return state
+
+
+def _save_snapshot(path, it, real, rec):
+    """PNG grid: top row real, bottom row reconstruction."""
+    from PIL import Image
+
+    os.makedirs(path, exist_ok=True)
+    grid = np.concatenate([np.concatenate(list(x), axis=1) for x in (real, rec)],
+                          axis=0)
+    u8 = np.clip((grid + 1) * 127.5, 0, 255).astype(np.uint8)
+    Image.fromarray(u8).save(os.path.join(path, f"rec_{it:06d}.png"))
 
 
 def cycle_loader(loader):

@@ -100,16 +100,24 @@ class StateEstimatorTrainer:
 class StftAutoencoderTrainer:
     """`helpers/stft_autoencoder_trainer.py:17-151`."""
 
-    def __init__(self, cfg: Config, dtype=jnp.float32, mesh=None):
+    def __init__(self, cfg: Config, dtype=jnp.float32, mesh=None, vgg_npz=None):
         from ccvs_tpu.parallel.mesh import make_mesh
+        from ccvs_tpu.nn import vgg as vgg_mod
 
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         self.model = StftModel(cfg.stft)
+        # reference stft recon loss is MSE + VGG (`stft_model.py:84-110`)
+        if vgg_npz and os.path.exists(vgg_npz):
+            vgg_params = vgg_mod.load_vgg19_npz(vgg_npz)
+        else:
+            vgg_mod.warn_fallback("the STFT perceptual loss")
+            vgg_params = vgg_mod.init_random(jax.random.PRNGKey(cfg.seed))
+        vgg_fn = lambda a, b: vgg_mod.vgg_loss(vgg_params, a, b)  # noqa: E731
 
         def loss_fn(params, batch):
             stft = batch["stft"].reshape(-1, 64, 16, 1)
-            return self.model.loss(params, stft)
+            return self.model.loss(params, stft, vgg_fn=vgg_fn)
 
         opt = make_adam(cfg.stft.lr, cfg.stft.beta1, cfg.stft.beta2,
                         cfg.stft.weight_decay)

@@ -54,8 +54,13 @@ def make_ae_steps(losses: AELosses, vgg_params, aug_fn=None):
             return None
         # `salt` lets one call site draw independent transforms for real vs
         # fake (the reference advances its global RNG between the two calls,
-        # `quantized_video_model.py:639-640`)
-        return lambda x, salt=0: aug_fn(jax.random.fold_in(rng, salt), x, state.ada_p)
+        # `quantized_video_model.py:639-640`). jax.checkpoint: the geometric
+        # warp runs on a 2x-resolution canvas whose stored intermediates
+        # (several (B, 2H', 2W', 3) fp32 buffers at three aug sites) dominate
+        # HBM at 256^2 — recompute them in the backward pass instead.
+        ck_aug = jax.checkpoint(lambda r, x, p: aug_fn(r, x, p),
+                                static_argnums=())
+        return lambda x, salt=0: ck_aug(jax.random.fold_in(rng, salt), x, state.ada_p)
 
     def g_step(state, batch, rng, mode: str):
         aug = _aug(state, jax.random.fold_in(rng, 1))

@@ -1,0 +1,149 @@
+"""Quality gate for the int8 serving decode (`--serve-int8`) at the BAIR config.
+
+Teacher-forced comparison of `decode_step_fn` (exact bf16) vs
+`decode_step_fn_int8` on identical token streams through the real 24x1024
+GPT: per-token logit relative error, sampled-token agreement at the
+reference's temperature 1 / top-k 100 (`transformer_model.py:395-409`), and
+top-k distribution total variation. Plus end-to-end `TokenTransformer.
+generate` runs (sampled + beam) with serve_int8 on, timed within-run against
+bf16. Results recorded in PARITY.md.
+
+Run on the chip:   python scripts/int8_gate_r3.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def sync(x):
+    np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
+
+
+def main():
+    import dataclasses
+
+    from ccvs_tpu.config import get_config
+    from ccvs_tpu.models.transformer import TokenTransformer
+    from ccvs_tpu.nn.gpt import GPT, build_schedule, cache_to_layers, decode_step_fn
+    from ccvs_tpu.nn.quantized import decode_step_fn_int8, quantize_gpt_int8
+    from ccvs_tpu.utils.casting import cast_params_bf16
+
+    cfg = get_config("bairhd").gpt
+    B, L = 2, cfg.z_len
+    cond = cfg.cond_len
+    tr = TokenTransformer(cfg)
+    model = tr.model
+    params = jax.jit(lambda k: tr.init(k, batch=1))(jax.random.PRNGKey(0))
+    pb = cast_params_bf16(params)
+    qp = quantize_gpt_int8(pb)
+
+    sched = build_schedule(cfg, n_frames=L // cfg.z_chunk)
+    kind = jnp.asarray(sched.kind[:L])
+    s_idx = jnp.asarray(sched.s_idx[:L])
+    t_idx = jnp.asarray(sched.t_idx[:L])
+    rng = jax.random.PRNGKey(42)
+    tokens = jax.random.randint(rng, (B, L), 0, cfg.z_num)
+
+    @jax.jit
+    def teacher_forced(tokens):
+        emb = model.apply({"params": pb}, tokens, kind, s_idx, t_idx,
+                          method=GPT.embed_one).astype(jnp.bfloat16)
+        cache_b = cache_to_layers(model.apply({"params": pb}, B, L,
+                                              method=GPT.init_cache))
+        cache_q = cache_to_layers(model.apply({"params": pb}, B, L,
+                                              method=GPT.init_cache))
+
+        def step(carry, j):
+            cb, cq = carry
+            e1 = jax.lax.dynamic_slice_in_dim(emb, j, 1, axis=1)
+            lb, cb = decode_step_fn(cfg, pb, e1, j, cb)
+            lq, cq = decode_step_fn_int8(cfg, pb, qp, e1, j, cq)
+            return (cb, cq), (lb.astype(jnp.float32), lq.astype(jnp.float32))
+
+        _, (lb, lq) = jax.lax.scan(step, (cache_b, cache_q), jnp.arange(L - 1))
+        return lb, lq  # (L-1, B, V)
+
+    t0 = time.time()
+    lb, lq = teacher_forced(tokens)
+    sync(lb)
+    print(f"teacher-forced dual decode compiled+ran in {time.time() - t0:.1f}s",
+          flush=True)
+    lb = np.asarray(lb)[cond:, :, : cfg.z_num]  # score generated positions only
+    lq = np.asarray(lq)[cond:, :, : cfg.z_num]
+
+    # 1) per-token logit relative error
+    rel = np.linalg.norm(lq - lb, axis=-1) / np.maximum(
+        np.linalg.norm(lb, axis=-1), 1e-9)
+    out = {
+        "logit_rel_err_mean": float(rel.mean()),
+        "logit_rel_err_p95": float(np.percentile(rel, 95)),
+        "logit_rel_err_max": float(rel.max()),
+    }
+
+    # 2) sampled-token agreement + top-k TV distance at T=1 / top-k 100
+    def topk_probs(l):
+        k = cfg.top_k or 100
+        thresh = np.sort(l, axis=-1)[..., -k][..., None]
+        masked = np.where(l < thresh, -np.inf, l)
+        e = np.exp(masked - masked.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    pb_probs = topk_probs(lb.reshape(-1, lb.shape[-1]))
+    pq_probs = topk_probs(lq.reshape(-1, lq.shape[-1]))
+    tv = 0.5 * np.abs(pb_probs - pq_probs).sum(-1)
+    out["topk_tv_mean"] = float(tv.mean())
+    out["topk_tv_p95"] = float(np.percentile(tv, 95))
+
+    # same-key gumbel sampling from both distributions
+    g = np.random.RandomState(0).gumbel(size=pb_probs.shape).astype(np.float32)
+    pick_b = np.argmax(np.log(np.maximum(pb_probs, 1e-20)) + g, axis=-1)
+    pick_q = np.argmax(np.log(np.maximum(pq_probs, 1e-20)) + g, axis=-1)
+    out["token_agreement"] = float((pick_b == pick_q).mean())
+    out["n_tokens_scored"] = int(pick_b.size)
+
+    # 3) end-to-end generate: bf16 vs int8 timing (within-run), + beam x int8
+    ctx = tokens[:, :cond]
+
+    def run_gen(gcfg, label):
+        t = TokenTransformer(gcfg)
+        r = jax.random.PRNGKey(7)
+        o = t.generate(params, r, ctx)  # compile
+        sync(o["code"])
+        t0 = time.time()
+        o = t.generate(params, r, ctx)
+        sync(o["code"])
+        dt = time.time() - t0
+        ntok = o["code"].shape[1] - cond
+        print(f"{label}: {ntok} tokens in {dt:.2f}s = {dt / ntok * 1e3:.2f} ms/tok",
+              flush=True)
+        return o, dt / ntok * 1e3
+
+    o_b, ms_b = run_gen(cfg, "bf16 sampled")
+    o_q, ms_q = run_gen(dataclasses.replace(cfg, serve_int8=True), "int8 sampled")
+    out["ms_per_token_bf16"] = round(ms_b, 3)
+    out["ms_per_token_int8"] = round(ms_q, 3)
+    out["int8_speedup"] = round(ms_b / ms_q, 3)
+
+    o_beam, _ = run_gen(dataclasses.replace(cfg, serve_int8=True, beam_size=4),
+                        "int8 beam=4")
+    assert o_beam["code"].shape == o_q["code"].shape
+    assert np.asarray((o_beam["code"] >= 0) & (o_beam["code"] < cfg.z_num)).all()
+    out["beam_int8_ok"] = True
+
+    print(json.dumps(out, indent=1))
+    with open("runs_r3/int8_gate.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    os.makedirs("runs_r3", exist_ok=True)
+    main()

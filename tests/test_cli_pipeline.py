@@ -84,7 +84,7 @@ def test_cli_full_pipeline(tmp_path, capsys):
     cli.main(["eval-fvd", "--real", str(real_dir), "--fake", str(fake_dir),
               "--chunk", "2"])
     fvd_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert "fvd" in fvd_out and np.isfinite(fvd_out["fvd"])
+    assert "fvd_uncalibrated" in fvd_out and np.isfinite(fvd_out["fvd_uncalibrated"])
 
     # 6. quantized serving path through the CLI (full AR generation)
     cli.main(["generate", "--load-config", str(cfg_path),

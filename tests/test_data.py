@@ -140,3 +140,45 @@ def test_img_layout_batch_feeds_layout_loss():
     loss, (m, fake) = losses.img_generator_loss(gen, None, None, jb, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
     assert "layout_img" in m and "layout_quant_img" in m
+
+
+def test_host_sharded_loading_matches_single_host():
+    """Two simulated hosts loading disjoint strides of the same shuffled
+    global index reassemble exactly the single-host batch (the multi-host
+    input feed; reference per-rank split `tools/engine.py:81-101`)."""
+    from ccvs_tpu.config import DataConfig
+    from ccvs_tpu.data import PrefetchLoader, create_dataset
+
+    cfg = DataConfig(dataset="synthetic", max_dim=16, true_dim=32,
+                     batch_size_img=8, n_consecutive_img=1, img_out_of_n=4)
+    ds = create_dataset(cfg, phase="valid", load_vid=False)
+
+    def first_batch(host_shard):
+        loader = PrefetchLoader(ds, 8, shuffle=True, num_workers=2, seed=7,
+                                host_shard=host_shard)
+        return next(iter(loader))
+
+    full = first_batch(None)
+    h0 = first_batch((0, 2))
+    h1 = first_batch((1, 2))
+    assert h0["img"].shape[0] == h1["img"].shape[0] == 4
+    # device order puts process 0's rows first: global = concat(h0, h1),
+    # which is the full batch reordered even-then-odd positions
+    want = np.concatenate([full["img"][0::2], full["img"][1::2]])
+    got = np.concatenate([h0["img"], h1["img"]])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_shard_index_partitions_clips():
+    """shard_index strides are disjoint and cover the full clip index."""
+    from ccvs_tpu.data.clips import build_clip_index, shard_index
+
+    index = build_clip_index([10, 7, 16], clip_len=4, skip=2)
+    shards = [shard_index(index, h, 3) for h in range(3)]
+    seen = sorted(
+        (int(v), int(s)) for sh in shards
+        for v, s in zip(sh.video_ids, sh.starts)
+    )
+    want = sorted((int(v), int(s)) for v, s in zip(index.video_ids, index.starts))
+    assert seen == want
+    assert sum(len(s) for s in shards) == len(index)

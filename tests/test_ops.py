@@ -116,8 +116,9 @@ def test_conv3d_matches_torch(rng):
     np.testing.assert_allclose(np.transpose(got, (0, 4, 1, 2, 3)), want, rtol=1e-4, atol=1e-4)
 
 
-def test_grid_sample_matches_torch(rng):
-    x = rng.randn(2, 9, 11, 4).astype(np.float32)
+@pytest.mark.parametrize("c", [3, 16])  # planes path (C<8) and slice-gather path
+def test_grid_sample_matches_torch(rng, c):
+    x = rng.randn(2, 9, 11, c).astype(np.float32)
     flow = (rng.randn(2, 9, 11, 2) * 3).astype(np.float32)
     grid = np.asarray(make_backwarp_grid(9, 11))
     norm = np.stack([flow[..., 0] / ((11 - 1) / 2.0), flow[..., 1] / ((9 - 1) / 2.0)], axis=-1)

@@ -264,6 +264,40 @@ def test_continuous_transformer(rng):
     assert out.shape == (2, 16, 8)
 
 
+def _naive_continuous_rollout(tr, params, code, total_len, normalize_pred=False):
+    """Reference semantics: per-step full forwards, no cache
+    (`transformer_model.py:344-348`)."""
+    cfg = tr.cfg
+    for _ in range(total_len - code.shape[1]):
+        pred = tr.model.apply({"params": params}, code, single=True)
+        if cfg.n_proposals > 1:
+            logits, props = pred
+            best = jnp.argmax(logits[:, -1], axis=-1)
+            pred = jnp.take_along_axis(props[:, -1], best[:, None, None], axis=1)
+        if normalize_pred:
+            pred = pred / jnp.linalg.norm(pred, axis=-1, keepdims=True)
+        code = jnp.concatenate([code, pred.reshape(code.shape[0], 1, -1)], axis=1)
+    return code
+
+
+@pytest.mark.parametrize("n_proposals,normalize", [(1, False), (3, True)])
+def test_continuous_generate_cached_equals_naive(rng, n_proposals, normalize):
+    """The jitted KV-cached scan rollout must match the naive per-token
+    full-forward rollout exactly (same greedy choices, fp32)."""
+    from ccvs_tpu.models.transformer import ContinuousTransformer
+    cfg = TransformerConfig(
+        z_num=16, z_len=24, z_chunk=8, num_blocks=2, n_layer=2, n_head=2,
+        n_embd=32, z_shape=(2, 2), emb_mode=None, is_continuous=True, n_in=8,
+        n_proposals=n_proposals,
+    )
+    tr = ContinuousTransformer(cfg, dtype=jnp.float32)
+    params = tr.init(jax.random.PRNGKey(1), batch=2)
+    ctx = jnp.asarray(rng.randn(2, 7, 8).astype(np.float32))
+    fast = tr.generate(params, ctx, total_len=15, normalize_pred=normalize)
+    slow = _naive_continuous_rollout(tr, params, ctx, 15, normalize_pred=normalize)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), rtol=2e-4, atol=2e-4)
+
+
 def test_finetune_head_optimizer(rng):
     import dataclasses
     from ccvs_tpu.train.steps import make_transformer_step
@@ -361,3 +395,53 @@ def test_ada_wiring_tunes_p_and_transforms(rng):
     _, gm_hi, _ = g_img(s_hi, batch, key)
     _, gm_lo, _ = g_img(s_lo, batch, key)
     assert not np.isclose(float(gm_hi["gen_img"]), float(gm_lo["gen_img"]))
+
+
+def test_remat_losses_match(rng):
+    """cfg.remat=True must be a pure memory optimization: same losses and
+    gradients as the stored-activation path (fp32, same RNG).
+
+    Uses a continuous-latent config: with a random-init VQ codebook the
+    nearest-code distances tie to within float ulps, so any XLA re-fusion
+    (which checkpoint induces) can flip argmin winners and shift the loss —
+    a codebook-init artifact, not a remat bug."""
+    import dataclasses
+
+    cont = dataclasses.replace(AE_CFG, is_continuous=True)
+    cont_r = dataclasses.replace(cont, remat=True)
+    ae = FrameAutoencoder(cont, dtype=jnp.float32)
+    ae_r = FrameAutoencoder(cont_r, dtype=jnp.float32)
+    _, _, _, disc, batch_img, batch_vid = _setup(rng)
+    gen = ae.init(jax.random.PRNGKey(0))
+    di, dv = ImageDiscriminator(cont), VideoDiscriminator(cont, vid_len=cont.vid_len)
+    losses = AELosses(cont, ae, di=di, dv=dv)
+    losses_r = AELosses(cont_r, ae_r, di=di, dv=dv)
+    key = jax.random.PRNGKey(3)
+
+    def g_img(ls):
+        def f(g):
+            return ls.img_generator_loss(g, disc, None, batch_img, key)[0]
+        return jax.value_and_grad(f)(gen)
+
+    (l0, g0), (l1, g1) = g_img(losses), g_img(losses_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5), g0, g1)
+
+    def g_vid(ls):
+        def f(g):
+            return ls.vid_generator_loss(g, disc, None, batch_vid, key)[0]
+        return jax.value_and_grad(f)(gen)
+
+    (l0, _), (l1, _) = g_vid(losses), g_vid(losses_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+
+    fake = jnp.asarray(rng.randn(6, 8, 8, 3).astype(np.float32) * 0.2)
+
+    def d_img(ls):
+        def f(d):
+            return ls.img_discriminator_loss(d, batch_img["img"], fake)[0]
+        return jax.value_and_grad(f)(disc)
+
+    (l0, _), (l1, _) = d_img(losses), d_img(losses_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
