@@ -18,6 +18,7 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/perf_probe12.py
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -114,6 +115,48 @@ def v5_flat2(x, grid):
     return out * inbound[..., None].astype(x.dtype)
 
 
+def v6_rowpair(pk, grid, hin, win, c, dtype):
+    """Row-pair packed gather: operand rows hold concat(row_y, row_y+1) along
+    channels, so one (1, 2, 2C) slice reads all 4 bilinear corners from a
+    SINGLE H-plane as one contiguous 2x2C-lane span (vs v0's two H-plane
+    tiles). Tile math says same 8 KB/pixel; this measures whether v0 is
+    instead gather-ISSUE bound, where halving slices-per-row helps. Packing
+    (concat) is excluded — in the decoder the packed operand is reused by the
+    Matching/Subpixel/fusion warps of one level."""
+    b = pk.shape[0]
+    hout, wout = grid.shape[1:3]
+    ix, iy, y0f, x0f = unnorm(grid, hin, win)
+    wy = (iy - y0f).astype(dtype)[..., None]
+    wx = (ix - x0f).astype(dtype)[..., None]
+    inbound = (ix > -1.0) & (ix < win) & (iy > -1.0) & (iy < hin)
+    y0 = jnp.clip(y0f, -1, hin - 1).astype(jnp.int32) + 1
+    x0 = jnp.clip(x0f, -1, win - 1).astype(jnp.int32) + 1
+    idx = jnp.stack([y0, x0], axis=-1).reshape(b, hout * wout, 2)
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1))
+
+    def g1(img, ind):
+        return lax.gather(img, ind, dn, slice_sizes=(1, 2, 2 * c),
+                          mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    patches = jax.vmap(g1)(pk, idx).reshape(b, hout, wout, 2, 2 * c)
+    # dim -2 is the W offset (x0, x0+1); channels pack [row_y, row_y+1]
+    v00 = patches[..., 0, :c]
+    v10 = patches[..., 0, c:]
+    v01 = patches[..., 1, :c]
+    v11 = patches[..., 1, c:]
+    one = jnp.asarray(1.0, dtype)
+    top = v00 * (one - wx) + v01 * wx
+    bot = v10 * (one - wx) + v11 * wx
+    out = top * (one - wy) + bot * wy
+    return out * inbound[..., None].astype(dtype)
+
+
+def pack_rowpair(x):
+    p = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    return jnp.concatenate([p[:, :-1], p[:, 1:]], axis=-1)  # (B, H+2, W+3, 2C)
+
+
 def main():
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, H, W, C), jnp.bfloat16)
@@ -167,6 +210,9 @@ def main():
         "v3_halfC_bf16": (jax.jit(v0_gather), (x[..., :48], grid)),
         "v4_fp32": (jax.jit(v0_gather), (x.astype(jnp.float32), grid)),
         "v5_flat2_bf16": (jax.jit(v5_flat2), (x, grid)),
+        "v6_rowpair_bf16": (
+            jax.jit(partial(v6_rowpair, hin=H, win=W, c=C, dtype=jnp.bfloat16)),
+            (pack_rowpair(x), grid)),
     }
 
     # correctness vs v0
@@ -175,6 +221,8 @@ def main():
     print("v1 max err:", np.abs(got1 - ref).max(), flush=True)
     got5 = np.asarray(variants["v5_flat2_bf16"][0](x, grid), np.float32)
     print("v5 max err:", np.abs(got5 - ref).max(), flush=True)
+    got6 = np.asarray(variants["v6_rowpair_bf16"][0](pack_rowpair(x), grid), np.float32)
+    print("v6 max err:", np.abs(got6 - ref).max(), flush=True)
     got2 = np.asarray(variants["v2_int8"][0](x8, grid), np.float32)
     print("v2 int8 mean rel err:",
           float(np.abs(got2 - ref).mean() / (np.abs(ref).mean() + 1e-9)), flush=True)
