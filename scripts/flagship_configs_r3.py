@@ -90,7 +90,7 @@ def run_drums(out):
 
     def run(rng):
         # audio-on: condition every chunk on the true stft token stream
-        o = gen.generate(params, rng, vid, stft=stft, keep_state=True)
+        o = gen.generate(params, rng, vid, stft=stft, keep_state=True, rec=False)
         sync(o["fake"][:, -1, :2, :2, 0])
         assert o["fake"].shape == (batch, vid_len, 128, 128, 3)
 

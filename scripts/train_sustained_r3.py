@@ -55,7 +55,7 @@ def ae_cfg(n_iter):
     return cfg.replace(
         name=AE_NAME,
         n_iter=n_iter,
-        save_latest_freq=max(100, n_iter // 2),
+        save_latest_freq=50,  # crash-tolerant: lose at most ~50 iters
         ae=dataclasses.replace(cfg.ae, skip_memory=4, skip_context=(1, 2, 3, 4),
                                use_aug=True, remat=True),
     )
@@ -71,12 +71,12 @@ def gpt_cfg(n_iter):
     )
 
 
-def run_ae(n_iter):
+def run_ae(n_iter, resume=False):
     from ccvs_tpu.train.ae_trainer import FrameAutoencoderTrainer
 
     cfg = ae_cfg(n_iter)
     FrameAutoencoderTrainer(cfg).run(eval_every=25, snapshot_every=100,
-                                     serialize_steps=True)
+                                     serialize_steps=True, resume=resume)
 
 
 def run_gpt(n_iter):
@@ -171,12 +171,13 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", choices=["ae", "gpt"], default=None)
     ap.add_argument("--n-iter", type=int, default=400)
+    ap.add_argument("--resume", action="store_true")
     ap.add_argument("--summary", action="store_true")
     args = ap.parse_args()
     if args.summary:
         summary()
     elif args.phase == "ae":
-        run_ae(args.n_iter)
+        run_ae(args.n_iter, resume=args.resume)
     elif args.phase == "gpt":
         run_gpt(args.n_iter)
     else:
