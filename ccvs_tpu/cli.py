@@ -117,6 +117,9 @@ def main(argv=None):
                            help="int8 weight-quantized AR decode (1.5x "
                                 "tokens/sec; sampling distribution shifts "
                                 "slightly vs the exact bf16 path)")
+            p.add_argument("--serve-int8-dec", action="store_true",
+                           help="int8 InterBlock convs in the frame decoder "
+                                "(quality-gated: see PARITY.md int8 table)")
 
     for task in ("eval-fvd", "eval-metrics"):
         p = sub.add_parser(task)
@@ -202,6 +205,8 @@ def _generate(args):
     cfg = _config(args)
     if getattr(args, "serve_int8", False):
         cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, serve_int8=True))
+    if getattr(args, "serve_int8_dec", False):
+        cfg = cfg.replace(ae=dataclasses.replace(cfg.ae, serve_int8_dec=True))
     ae = FrameAutoencoder(cfg.ae)
     tr = TokenTransformer(cfg.gpt)
     params = {"ae": _load_ae_params(args, cfg)}

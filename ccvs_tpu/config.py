@@ -131,6 +131,10 @@ class AutoencoderConfig:
     keep_first: bool = False
     n_first: int = 1
     p2p_context: bool = False
+    # opt-in serving quantization of the MAC-heavy InterBlock convs
+    # (Matching/Subpixel convs0-2 + proj); flow/occ heads stay fp. Quality-
+    # gated on chip before use (see scripts/int8_gate_r3.py).
+    serve_int8_dec: bool = False
 
     # layout twins
     use_layout: bool = False

@@ -154,6 +154,91 @@ def annotate_states(frames_dir: str, states_file: str, out_dir: str, dim: int = 
     print(f"annotated frames -> {out_dir}")
 
 
+def download_kinetics(
+    input_csv: str,
+    output_dir: str,
+    trim: bool = False,
+    num_jobs: int = 1,
+    fetch_fn: Optional[Callable[[str, str], None]] = None,
+    trim_fn: Optional[Callable[[str, str, float, float], bool]] = None,
+):
+    """Kinetics clip downloader (`data/scripts/download_kinetics.py:22-129`).
+
+    CSV columns ``label, youtube_id, time_start, time_end, split, is_cc``;
+    one folder per label, videos saved as ``{id}_{start}_{dur}.mp4``, existing
+    files skipped, optional trim to the [start, end] action window.
+
+    ``fetch_fn(youtube_id, out_path)`` / ``trim_fn(src, dst, start, dur)``
+    are injectable: the defaults use ``pytube`` and a PATH ``ffmpeg``, neither
+    of which exists in a zero-egress image — callers there supply their own
+    (and the unit tests do; see tests/test_data.py).
+    """
+    import csv
+
+    if fetch_fn is None:
+        try:
+            import pytube  # noqa: F401  (not shipped in this image)
+        except ImportError as e:
+            raise RuntimeError(
+                "download_kinetics needs `pytube` (or pass fetch_fn=): "
+                "this environment has no network egress"
+            ) from e
+
+        def fetch_fn(vid_id, out_path):
+            pytube.YouTube("https://www.youtube.com/watch?v=" + vid_id) \
+                .streams.filter(subtype="mp4").first() \
+                .download(os.path.dirname(out_path), os.path.basename(out_path))
+
+    if trim_fn is None:
+        def trim_fn(src, dst, start, dur):
+            import subprocess
+
+            r = subprocess.run(
+                ["ffmpeg", "-i", src, "-ss", str(start), "-t", str(dur),
+                 "-c:v", "libx264", "-c:a", "copy", "-threads", "1", dst],
+                capture_output=True,
+            )
+            return r.returncode == 0
+
+    with open(input_csv) as f:
+        rows = list(csv.DictReader(f))
+    need = {"label", "youtube_id", "time_start", "time_end"}
+    missing = need - set(rows[0].keys() if rows else need)
+    if missing:
+        raise ValueError(f"input csv missing columns: {sorted(missing)}")
+
+    tmp_dir = os.path.join(output_dir, "tmp")
+    for name in {r["label"] for r in rows} | {"tmp"}:
+        os.makedirs(os.path.join(output_dir, name), exist_ok=True)
+
+    def one(row):
+        vid, label = row["youtube_id"], row["label"]
+        start = float(row["time_start"])
+        dur = float(row["time_end"]) - start
+        final = os.path.join(output_dir, label, f"{vid}_{start:g}_{dur:g}.mp4")
+        if os.path.exists(final):
+            return "cached"
+        raw = os.path.join(tmp_dir, vid + ".mp4") if trim else final
+        try:
+            if not os.path.exists(raw):
+                fetch_fn(vid, raw)
+        except Exception as e:  # unavailable / private videos are expected
+            print(f"unavailable: {vid} ({e})")
+            return "failed"
+        if trim and not trim_fn(raw, final, start, dur):
+            print(f"trim failed: {vid}")
+            return "failed"
+        return "ok"
+
+    with ThreadPoolExecutor(max_workers=max(1, num_jobs)) as ex:
+        counts = {}
+        for st in ex.map(one, rows):
+            counts[st] = counts.get(st, 0) + 1
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    print(f"download_kinetics: {counts} of {len(rows)} clips -> {output_dir}")
+    return counts
+
+
 def main():
     p = argparse.ArgumentParser(prog="ccvs_tpu.data.prep")
     sub = p.add_subparsers(dest="task", required=True)
@@ -177,6 +262,11 @@ def main():
     a.add_argument("--frames-dir", required=True)
     a.add_argument("--states-file", required=True)
     a.add_argument("--out-dir", required=True)
+    d = sub.add_parser("download-kinetics")
+    d.add_argument("--input-csv", required=True)
+    d.add_argument("--output-dir", required=True)
+    d.add_argument("--trim", action="store_true")
+    d.add_argument("--num-jobs", type=int, default=1)
     args = p.parse_args()
 
     if args.task == "bairhd":
@@ -193,6 +283,9 @@ def main():
         compute_metadata(scan_files(args.video_dir, VID_EXTENSIONS), args.out, args.clip_len)
     elif args.task == "annotate":
         annotate_states(args.frames_dir, args.states_file, args.out_dir)
+    elif args.task == "download-kinetics":
+        download_kinetics(args.input_csv, args.output_dir, trim=args.trim,
+                          num_jobs=args.num_jobs)
 
 
 if __name__ == "__main__":

@@ -66,9 +66,15 @@ class Matching(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, inter, flow, occ, toff):
+    def __call__(self, x, k, inter, flow, occ, toff):
+        """``x``: (B, h, w, s) decoder features SHARED across the k contexts
+        (the reference repeats them per context, `skip_autoencoder.py:246`;
+        here every x-consuming conv computes its x-term once per batch element
+        and broadcasts — exact by conv linearity). ``inter``/``flow``/``occ``
+        are (B*k, ...), b-major k-minor."""
         cfg = self.cfg
         use_corr = not cfg.no_corr
+        q8 = cfg.serve_int8_dec  # opt-in int8 serving for the MAC-heavy convs
         # At corr_stride > 1 the warped inter is consumed ONLY through
         # proj -> correlation, and the correlation samples its inputs at
         # stride positions (`modules/correlation.py:32-100`) — so warp just
@@ -118,7 +124,7 @@ class Matching(nn.Module):
         if use_corr:
             if fast_strided:
                 s = self.corr_stride
-                xc = x[:, ::s, ::s]
+                xc = x[:, ::s, ::s]  # (B, ...) — shared across contexts
                 if flow is not None:
                     from ccvs_tpu.ops import backwarp_sampled
 
@@ -129,10 +135,13 @@ class Matching(nn.Module):
                 xc, ic = x, inter
             if self.feat_size > 16 and not cfg.no_proj:
                 tgt = max(16, self.feat_size // 4)
-                proj = ConvLayerAE(self.feat_size, tgt, 1, dtype=self.dtype, name="proj")
-                px, pi = proj(xc), proj(ic)
+                proj = ConvLayerAE(self.feat_size, tgt, 1, int8=q8,
+                                   dtype=self.dtype, name="proj")
+                # x-side projection computed once per batch element, then
+                # broadcast over the k contexts
+                px, pi = jnp.repeat(proj(xc), k, axis=0), proj(ic)
             else:
-                px, pi = xc, ic
+                px, pi = jnp.repeat(xc, k, axis=0), ic
             corr = local_correlation(
                 px.astype(jnp.float32), pi.astype(jnp.float32),
                 stride=1 if fast_strided else self.corr_stride,
@@ -140,15 +149,13 @@ class Matching(nn.Module):
             corr = leaky_relu(corr, 0.1).astype(x.dtype)
             if self.corr_stride != 1:
                 corr = GroupedUpsample(49, dtype=self.dtype, name="upsample_corr")(corr)
-            feat = corr
-            in_ch = 49
+            feat = ConvLayerAE(49, 128, 3, int8=q8, dtype=self.dtype, name="convs0")(corr)
         else:
-            feat = jnp.concatenate([x, inter], axis=-1)
-            in_ch = self.feat_size * 2
-
-        feat = ConvLayerAE(in_ch, 128, 3, dtype=self.dtype, name="convs0")(feat)
-        feat = ConvLayerAE(128, 64, 3, dtype=self.dtype, name="convs1")(feat)
-        feat = ConvLayerAE(64, 32, 3, dtype=self.dtype, name="convs2")(feat)
+            # concat([x, inter]) conv, with the x block computed shared-once
+            feat = ConvLayerAE(self.feat_size * 2, 128, 3, int8=q8, dtype=self.dtype,
+                               name="convs0")(inter, shared=x, k=k)
+        feat = ConvLayerAE(128, 64, 3, int8=q8, dtype=self.dtype, name="convs1")(feat)
+        feat = ConvLayerAE(64, 32, 3, int8=q8, dtype=self.dtype, name="convs2")(feat)
 
         dflow = ConvLayerAE(32, 2, self.kernel, activate=False, dtype=self.dtype, name="flow_head")(feat)
         docc = ConvLayerAE(32, 1, self.kernel, activate=False, dtype=self.dtype, name="occ_head")(feat)
@@ -167,12 +174,18 @@ class Subpixel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, inter, flow, occ):
+    def __call__(self, x, k, inter, flow, occ):
+        """``x``: (B, h, w, s) shared decoder features (see Matching); the
+        concat([x, warped, flow, occ]) conv computes its x block once per
+        batch element — exact by conv linearity, and the single biggest
+        k-redundancy in the decode step (~22% of InterBlock conv MACs)."""
+        q8 = self.cfg.serve_int8_dec
         warped = backwarp(inter, flow * self.flow_mult)
-        feat = jnp.concatenate([x, warped, flow, occ], axis=-1)
-        feat = ConvLayerAE(2 * self.feat_size + 3, 128, 3, dtype=self.dtype, name="convs0")(feat)
-        feat = ConvLayerAE(128, 64, 3, dtype=self.dtype, name="convs1")(feat)
-        feat = ConvLayerAE(64, 32, 3, dtype=self.dtype, name="convs2")(feat)
+        rest = jnp.concatenate([warped, flow, occ], axis=-1)
+        feat = ConvLayerAE(2 * self.feat_size + 3, 128, 3, int8=q8, dtype=self.dtype,
+                           name="convs0")(rest, shared=x, k=k)
+        feat = ConvLayerAE(128, 64, 3, int8=q8, dtype=self.dtype, name="convs1")(feat)
+        feat = ConvLayerAE(64, 32, 3, int8=q8, dtype=self.dtype, name="convs2")(feat)
         flow = flow + ConvLayerAE(32, 2, self.kernel, activate=False, dtype=self.dtype, name="flow_head")(feat)
         occ = occ + ConvLayerAE(32, 1, self.kernel, activate=False, dtype=self.dtype, name="occ_head")(feat)
         toff = feat if self.cfg.use_tradeoff else None
@@ -201,16 +214,15 @@ class InterBlock(nn.Module):
         b, k = inters.shape[0], inters.shape[1]
         h, w, s = x.shape[1:]
         inters_f = inters.reshape(b * k, *inters.shape[2:])
-        xs = jnp.repeat(x[:, None], k, axis=1).reshape(b * k, h, w, s)
 
         flows, occs = Matching(
             self.cfg, self.flow_mult, self.kernel, self.feat_size, self.corr_stride,
             self.first, dtype=self.dtype, name="matching",
-        )(xs, inters_f, flows, occs, toffs)
+        )(x, k, inters_f, flows, occs, toffs)
         flows, occs, toffs = Subpixel(
             self.cfg, self.flow_mult, self.kernel, self.feat_size, dtype=self.dtype,
             name="subpixel",
-        )(xs, inters_f, flows, occs)
+        )(x, k, inters_f, flows, occs)
 
         warped = backwarp(inters_f, flows * self.flow_mult)
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ccvs_tpu.ops import conv2d, conv3d, conv_transpose2d, fused_leaky_relu, upfirdn2d
+from ccvs_tpu.ops.convops import conv2d_int8
 from ccvs_tpu.ops.fused_act import leaky_relu
 from ccvs_tpu.ops.upfirdn2d import make_resample_kernel
 
@@ -36,37 +37,55 @@ class EqualConv2d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     transpose: bool = False
+    int8: bool = False  # opt-in int8 serving conv (see ops.convops.conv2d_int8)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        if self.transpose:
-            # torch stores transposed-conv weight as (O, I, k, k) here because
-            # the reference transposes at call time (`skip_autoencoder.py:55`).
-            w = self.param(
-                "weight",
-                nn.initializers.normal(stddev=1.0),
-                (self.out_channel, self.in_channel, self.kernel_size, self.kernel_size),
-                jnp.float32,
-            )
-        else:
-            w = self.param(
-                "weight",
-                nn.initializers.normal(stddev=1.0),
-                (self.out_channel, self.in_channel, self.kernel_size, self.kernel_size),
-                jnp.float32,
-            )
+    def __call__(self, x, shared=None, k=1):
+        """Args:
+          x: (N, H, W, C) input — with ``shared``, the per-item tail block of
+            the logical concat input (N = B*k, C = in_channel - C0).
+          shared: optional (B, H, W, C0) leading channel block that is
+            identical across k consecutive batch entries of ``x`` (b-major
+            k-minor, the decoder's context fold). By conv linearity
+            ``conv(concat([tile(shared), x])) = tile(conv(shared, W[:, :C0]))
+            + conv(x, W[:, C0:])`` — the shared part is computed once per
+            batch element instead of k times (the decoder's InterBlocks
+            repeat the frame features over skip_memory=15 contexts,
+            `quantized_video_model.py:864-902`; ~29% of InterBlock conv MACs
+            are this redundancy at the BAIR serving config).
+        """
+        # torch stores transposed-conv weight as (O, I, k, k) here because
+        # the reference transposes at call time (`skip_autoencoder.py:55`).
+        w = self.param(
+            "weight",
+            nn.initializers.normal(stddev=1.0),
+            (self.out_channel, self.in_channel, self.kernel_size, self.kernel_size),
+            jnp.float32,
+        )
         scale = 1.0 / math.sqrt(self.in_channel * self.kernel_size**2)
-        w = (w * scale).astype(self.dtype)
+        wf = w * scale  # fp32 effective weight
+        w = wf.astype(self.dtype)
         b = None
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channel,), jnp.float32)
             b = b.astype(self.dtype)
         x = x.astype(self.dtype)
         if self.transpose:
+            assert shared is None
             # reference: conv_transpose2d(x, weight.transpose(0, 1) * scale)
             return conv_transpose2d(x, jnp.swapaxes(w, 0, 1), b, stride=self.stride, padding=self.padding)
-        return conv2d(x, w, b, stride=self.stride, padding=self.padding)
+        cv = conv2d_int8 if self.int8 else conv2d
+        wc = wf if self.int8 else w
+        if shared is not None:
+            c0 = shared.shape[-1]
+            ys = cv(shared.astype(self.dtype), wc[:, :c0], None,
+                    stride=self.stride, padding=self.padding)
+            ys = jnp.repeat(ys, k, axis=0)
+            out = ys + cv(x, wc[:, c0:], b, stride=self.stride, padding=self.padding)
+        else:
+            out = cv(x, wc, b, stride=self.stride, padding=self.padding)
+        return out.astype(self.dtype)
 
 
 class EqualConv3d(nn.Module):
@@ -166,10 +185,11 @@ class ConvLayerAE(nn.Module):
     upsample: bool = False
     use_bias: bool = True
     activate: bool = True
+    int8: bool = False  # opt-in int8 serving conv (plain stride-1 path only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, shared=None, k=1):
         blur_len = len(BLUR_KERNEL)
         if self.downsample:
             p = (blur_len - 2) + (self.kernel_size - 1)
@@ -192,8 +212,8 @@ class ConvLayerAE(nn.Module):
             x = EqualConv2d(
                 self.in_channel, self.out_channel, self.kernel_size,
                 stride=1, padding=self.kernel_size // 2, use_bias=self.use_bias,
-                dtype=self.dtype, name="conv",
-            )(x)
+                int8=self.int8, dtype=self.dtype, name="conv",
+            )(x, shared=shared, k=k)
         if self.activate:
             x = leaky_relu(x, 0.1)
         return x

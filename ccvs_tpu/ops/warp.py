@@ -27,17 +27,23 @@ def make_backwarp_grid(height, width, dtype=jnp.float32):
     return jnp.stack([gx, gy], axis=-1)
 
 
+def _compute_dtype(x):
+    """Lerp dtype: int8 sources (quantized context FIFO) blend in bf16."""
+    return jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype
+
+
 def _unnormalize(x, grid):
     """align_corners=False unnormalization + bilinear weights/base indices."""
     b, hin, win, c = x.shape
+    cdt = _compute_dtype(x)
     gx = grid[..., 0].astype(jnp.float32)
     gy = grid[..., 1].astype(jnp.float32)
     ix = ((gx + 1.0) * win - 1.0) * 0.5
     iy = ((gy + 1.0) * hin - 1.0) * 0.5
     y0f = jnp.floor(iy)
     x0f = jnp.floor(ix)
-    wy = (iy - y0f).astype(x.dtype)[..., None]
-    wx = (ix - x0f).astype(x.dtype)[..., None]
+    wy = (iy - y0f).astype(cdt)[..., None]
+    wx = (ix - x0f).astype(cdt)[..., None]
     inbound = (ix > -1.0) & (ix < win) & (iy > -1.0) & (iy < hin)
     return ix, iy, y0f, x0f, wx, wy, inbound
 
@@ -106,6 +112,8 @@ def grid_sample(x, grid):
 
     b, hin, win, c = x.shape
     if c < 8:
+        if x.dtype == jnp.int8:
+            x = x.astype(jnp.bfloat16)
         return _grid_sample_planes(x, grid)
     _, hout, wout, _ = grid.shape
     ix, iy, y0f, x0f, wx, wy, inbound = _unnormalize(x, grid)
@@ -126,20 +134,24 @@ def grid_sample(x, grid):
         return lax.gather(img, ind, dn, slice_sizes=(2, 2, c),
                           mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
+    cdt = _compute_dtype(x)
     patches = jax.vmap(g1)(p, idx).reshape(b, hout, wout, 2, 2, c)
+    # int8 sources: the GATHER moves int8 (half the HBM tile reads of bf16);
+    # only the in-register patches are widened for the lerp.
+    patches = patches.astype(cdt)
     v00 = patches[..., 0, 0, :]
     v01 = patches[..., 0, 1, :]
     v10 = patches[..., 1, 0, :]
     v11 = patches[..., 1, 1, :]
 
-    one = jnp.asarray(1.0, x.dtype)
+    one = jnp.asarray(1.0, cdt)
     top = v00 * (one - wx) + v01 * wx
     bot = v10 * (one - wx) + v11 * wx
     out = top * (one - wy) + bot * wy
 
     # whole-pixel mask: when clipping engaged, every true neighbor was out of
     # image (or had zero weight), so the correct value is 0.
-    return out * inbound[..., None].astype(x.dtype)
+    return out * inbound[..., None].astype(cdt)
 
 
 def backwarp_sampled(x, flow, stride):

@@ -182,3 +182,44 @@ def test_shard_index_partitions_clips():
     want = sorted((int(v), int(s)) for v, s in zip(index.video_ids, index.starts))
     assert seen == want
     assert sum(len(s) for s in shards) == len(index)
+
+
+def test_download_kinetics_injected(tmp_path):
+    """CSV-driven layout/skip/trim semantics with injected fetch/trim
+    (`data/scripts/download_kinetics.py:22-129`; no network in this env)."""
+    from ccvs_tpu.data.prep import download_kinetics
+
+    csv_path = tmp_path / "links.csv"
+    csv_path.write_text(
+        "label,youtube_id,time_start,time_end,split,is_cc\n"
+        "jump,aaa,2,5,train,0\n"
+        "jump,bbb,0,3,train,0\n"
+        "run,ccc,1,2,val,0\n"
+    )
+    out = tmp_path / "videos"
+    fetched = []
+
+    def fetch(vid, path):
+        if vid == "bbb":
+            raise KeyError("unavailable")
+        fetched.append(vid)
+        with open(path, "wb") as f:
+            f.write(b"raw" + vid.encode())
+
+    def trim(src, dst, start, dur):
+        with open(src, "rb") as f, open(dst, "wb") as g:
+            g.write(f.read() + f"|{start:g}+{dur:g}".encode())
+        return True
+
+    counts = download_kinetics(str(csv_path), str(out), trim=True, num_jobs=2,
+                               fetch_fn=fetch, trim_fn=trim)
+    assert counts == {"ok": 2, "failed": 1}
+    assert (out / "jump" / "aaa_2_3.mp4").read_bytes() == b"rawaaa|2+3"
+    assert (out / "run" / "ccc_1_1.mp4").read_bytes() == b"rawccc|1+1"
+    assert not (out / "tmp").exists()  # tmp cleaned up
+
+    # second run: everything cached, nothing re-fetched
+    fetched.clear()
+    counts = download_kinetics(str(csv_path), str(out), trim=True, num_jobs=1,
+                               fetch_fn=fetch, trim_fn=trim)
+    assert counts["cached"] == 2 and fetched == []

@@ -266,3 +266,43 @@ def test_deform_conv_matches_torchvision_semantics(rng):
                     torch.from_numpy(w), torch.from_numpy(b), padding=1).numpy()
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)), want,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_split_conv_shared_identity(rng):
+    """EqualConv2d ``shared=`` path == plain conv on the tiled concat input.
+
+    The decoder's InterBlocks tile the frame features over k contexts
+    (`skip_autoencoder.py:246`); the split-conv computes that block once per
+    batch element — exact by conv linearity."""
+    from ccvs_tpu.nn.layers import EqualConv2d
+
+    b, k, h, w, c0, c1, co = 2, 3, 8, 8, 5, 4, 6
+    shared = jnp.asarray(rng.randn(b, h, w, c0), jnp.float32)
+    tail = jnp.asarray(rng.randn(b * k, h, w, c1), jnp.float32)
+    conv = EqualConv2d(c0 + c1, co, 3, padding=1)
+    params = conv.init(jax.random.PRNGKey(0), tail, shared=shared, k=k)
+    got = conv.apply(params, tail, shared=shared, k=k)
+    tiled = jnp.repeat(shared, k, axis=0)
+    want = conv.apply(params, jnp.concatenate([tiled, tail], axis=-1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_decoder_int8_serving_variant(rng):
+    """serve_int8_dec: identical param tree, finite output, bounded drift."""
+    import dataclasses
+
+    cfg8 = dataclasses.replace(AE, serve_int8_dec=True)
+    enc = SkipEncoder(AE)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    ep = enc.init(jax.random.PRNGKey(0), x)
+    z, inters = enc.apply(ep, x)
+    dec, dec8 = SkipDecoder(AE), SkipDecoder(cfg8)
+    dp = dec.init(jax.random.PRNGKey(1), z, [inters])
+    assert jax.tree_util.tree_structure(dp) == jax.tree_util.tree_structure(
+        dec8.init(jax.random.PRNGKey(1), z, [inters]))
+    rgb, _ = dec.apply(dp, z, [inters])
+    rgb8, _ = dec8.apply(dp, z, [inters])  # same params, int8 graph
+    rgb, rgb8 = np.asarray(rgb), np.asarray(rgb8)
+    assert np.isfinite(rgb8).all()
+    rel = np.abs(rgb8 - rgb).mean() / (np.abs(rgb).mean() + 1e-9)
+    assert rel < 0.25, rel  # quantized serving path tracks the exact one
