@@ -135,6 +135,10 @@ class AutoencoderConfig:
     # (Matching/Subpixel convs0-2 + proj); flow/occ heads stay fp. Quality-
     # gated on chip before use (see scripts/int8_gate_r3.py).
     serve_int8_dec: bool = False
+    # opt-in int8 warp source: the context features are quantized per-channel
+    # to int8 once per InterBlock and every bilinear warp gathers int8 (half
+    # the HBM tile reads — the warps are the majority of a decode step).
+    serve_q8_warp: bool = False
 
     # layout twins
     use_layout: bool = False

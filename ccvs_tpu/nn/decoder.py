@@ -66,12 +66,13 @@ class Matching(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, k, inter, flow, occ, toff):
+    def __call__(self, x, k, inter, flow, occ, toff, inter_q=None):
         """``x``: (B, h, w, s) decoder features SHARED across the k contexts
         (the reference repeats them per context, `skip_autoencoder.py:246`;
         here every x-consuming conv computes its x-term once per batch element
         and broadcasts — exact by conv linearity). ``inter``/``flow``/``occ``
-        are (B*k, ...), b-major k-minor."""
+        are (B*k, ...), b-major k-minor. ``inter_q``: optional (int8, scale)
+        quantized twin of ``inter`` — warps gather from it (serve_q8_warp)."""
         cfg = self.cfg
         use_corr = not cfg.no_corr
         q8 = cfg.serve_int8_dec  # opt-in int8 serving for the MAC-heavy convs
@@ -109,7 +110,11 @@ class Matching(nn.Module):
                     db.astype(inter.dtype),
                 )
             elif not fast_strided:
-                inter = backwarp(inter, flow * self.flow_mult)
+                if inter_q is not None:
+                    inter = (backwarp(inter_q[0], flow * self.flow_mult)
+                             * inter_q[1]).astype(self.dtype)
+                else:
+                    inter = backwarp(inter, flow * self.flow_mult)
             if cfg.use_masked_flow:
                 inter = inter * (1.0 - jax.nn.sigmoid(occ))
             if cfg.use_tradeoff:
@@ -128,7 +133,11 @@ class Matching(nn.Module):
                 if flow is not None:
                     from ccvs_tpu.ops import backwarp_sampled
 
-                    ic = backwarp_sampled(inter, flow * self.flow_mult, s)
+                    if inter_q is not None:
+                        ic = (backwarp_sampled(inter_q[0], flow * self.flow_mult, s)
+                              * inter_q[1]).astype(self.dtype)
+                    else:
+                        ic = backwarp_sampled(inter, flow * self.flow_mult, s)
                 else:
                     ic = inter[:, ::s, ::s]
             else:
@@ -174,13 +183,17 @@ class Subpixel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, k, inter, flow, occ):
+    def __call__(self, x, k, inter, flow, occ, inter_q=None):
         """``x``: (B, h, w, s) shared decoder features (see Matching); the
         concat([x, warped, flow, occ]) conv computes its x block once per
         batch element — exact by conv linearity, and the single biggest
         k-redundancy in the decode step (~22% of InterBlock conv MACs)."""
         q8 = self.cfg.serve_int8_dec
-        warped = backwarp(inter, flow * self.flow_mult)
+        if inter_q is not None:
+            warped = (backwarp(inter_q[0], flow * self.flow_mult)
+                      * inter_q[1]).astype(self.dtype)
+        else:
+            warped = backwarp(inter, flow * self.flow_mult)
         rest = jnp.concatenate([warped, flow, occ], axis=-1)
         feat = ConvLayerAE(2 * self.feat_size + 3, 128, 3, int8=q8, dtype=self.dtype,
                            name="convs0")(rest, shared=x, k=k)
@@ -215,16 +228,33 @@ class InterBlock(nn.Module):
         h, w, s = x.shape[1:]
         inters_f = inters.reshape(b * k, *inters.shape[2:])
 
+        # Opt-in int8 warp source: quantize the context features ONCE, then
+        # the 2-3 bilinear warps of this block all gather int8 (half the HBM
+        # tile reads). Per-(slot, channel) symmetric scales; dequant is a
+        # fused multiply after each warp (commutes with the lerp).
+        inter_q = None
+        if self.cfg.serve_q8_warp and not self.cfg.use_deformed_conv:
+            af = jnp.maximum(jnp.max(jnp.abs(inters_f.astype(jnp.float32)),
+                                     axis=(1, 2), keepdims=True), 1e-8)
+            qscale = (af / 127.0).astype(jnp.bfloat16)
+            q8 = jnp.clip(jnp.round(inters_f.astype(jnp.float32) / af * 127.0),
+                          -127, 127).astype(jnp.int8)
+            inter_q = (q8, qscale)
+
         flows, occs = Matching(
             self.cfg, self.flow_mult, self.kernel, self.feat_size, self.corr_stride,
             self.first, dtype=self.dtype, name="matching",
-        )(x, k, inters_f, flows, occs, toffs)
+        )(x, k, inters_f, flows, occs, toffs, inter_q=inter_q)
         flows, occs, toffs = Subpixel(
             self.cfg, self.flow_mult, self.kernel, self.feat_size, dtype=self.dtype,
             name="subpixel",
-        )(x, k, inters_f, flows, occs)
+        )(x, k, inters_f, flows, occs, inter_q=inter_q)
 
-        warped = backwarp(inters_f, flows * self.flow_mult)
+        if inter_q is not None:
+            warped = (backwarp(inter_q[0], flows * self.flow_mult)
+                      * inter_q[1]).astype(self.dtype)
+        else:
+            warped = backwarp(inters_f, flows * self.flow_mult)
 
         # Confidence-weighted fusion over contexts. With k == 1 and full mask
         # this reduces exactly to the reference's single-context path.
