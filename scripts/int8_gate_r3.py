@@ -42,7 +42,18 @@ def main():
     cond = cfg.cond_len
     tr = TokenTransformer(cfg)
     model = tr.model
-    params = jax.jit(lambda k: tr.init(k, batch=1))(jax.random.PRNGKey(0))
+    params = None
+    ckpt_dir = os.path.join("runs_r3", "checkpoints", "r3_gpt_sustained")
+    if os.path.isdir(ckpt_dir):
+        try:
+            from ccvs_tpu.utils.checkpoint import CheckpointManager
+
+            params = CheckpointManager(ckpt_dir).load("transformer", "latest")["params"]
+            print("using trained sustained-run GPT weights", flush=True)
+        except Exception as e:
+            print(f"checkpoint load failed ({e}); random init", flush=True)
+    if params is None:
+        params = jax.jit(lambda k: tr.init(k, batch=1))(jax.random.PRNGKey(0))
     pb = cast_params_bf16(params)
     qp = quantize_gpt_int8(pb)
 
