@@ -231,12 +231,23 @@ class FrameAutoencoderTrainer:
             if rec_eval is not None and it % eval_every == 0:
                 rec, psnr = rec_eval(state.ema if acfg.use_ema else state.gen,
                                      eval_batch)
-                logger.log_scalars({"rec_psnr": float(psnr),
-                                    "ada_p": float(state.ada_p)}, it,
-                                   prefix="qvid_eval/")
+                scalars = {"rec_psnr": float(psnr), "ada_p": float(state.ada_p)}
+                rec_raw = None
+                if acfg.use_ema:
+                    # the 0.999-decay EMA (reference `accumulate`,
+                    # `quantized_video_model.py:951`) lags hundreds of iters
+                    # behind; log the raw generator too so short runs show
+                    # the true convergence trend
+                    rec_raw, psnr_raw = rec_eval(state.gen, eval_batch)
+                    scalars["rec_psnr_raw"] = float(psnr_raw)
+                logger.log_scalars(scalars, it, prefix="qvid_eval/")
                 if snapshot_every and it % snapshot_every == 0:
                     _save_snapshot(os.path.join(log_path, "snapshots"), it,
                                    np.asarray(eval_batch[:8]), np.asarray(rec[:8]))
+                    if rec_raw is not None:
+                        _save_snapshot(os.path.join(log_path, "snapshots"), it,
+                                       np.asarray(eval_batch[:8]),
+                                       np.asarray(rec_raw[:8]), tag="rec_raw")
             if it % cfg.save_latest_freq == 0 and it > start:
                 ckpt.save("qvid", it, state, latest=True)
             if cfg.save_freq > 0 and it % cfg.save_freq == 0 and it > start:
@@ -246,7 +257,7 @@ class FrameAutoencoderTrainer:
         return state
 
 
-def _save_snapshot(path, it, real, rec):
+def _save_snapshot(path, it, real, rec, tag="rec"):
     """PNG grid: top row real, bottom row reconstruction."""
     from PIL import Image
 
@@ -254,7 +265,7 @@ def _save_snapshot(path, it, real, rec):
     grid = np.concatenate([np.concatenate(list(x), axis=1) for x in (real, rec)],
                           axis=0)
     u8 = np.clip((grid + 1) * 127.5, 0, 255).astype(np.uint8)
-    Image.fromarray(u8).save(os.path.join(path, f"rec_{it:06d}.png"))
+    Image.fromarray(u8).save(os.path.join(path, f"{tag}_{it:06d}.png"))
 
 
 def cycle_loader(loader):

@@ -66,7 +66,7 @@ def gpt_cfg(n_iter):
     return cfg.replace(
         name=GPT_NAME,
         n_iter=n_iter,
-        save_latest_freq=max(100, n_iter // 2),
+        save_latest_freq=50,  # crash-tolerant rolling checkpoint
         ae=dataclasses.replace(cfg.ae, skip_memory=4, skip_context=(1, 2, 3, 4)),
     )
 
@@ -107,8 +107,8 @@ def summary():
 
     lines = ["# Sustained training run (round 3, real v5e chip)", ""]
     s = _series(AE_NAME, ["qvid_generator/g_loss", "qvid_generator/d_loss",
-                          "qvid_eval/rec_psnr", "qvid_eval/ada_p",
-                          "qvid_generator/r1_img"])
+                          "qvid_eval/rec_psnr", "qvid_eval/rec_psnr_raw",
+                          "qvid_eval/ada_p", "qvid_generator/r1_img"])
 
     def row(name, pts, fmt="{:.3f}"):
         if not pts:
@@ -132,12 +132,16 @@ def summary():
         row("D loss", s["qvid_generator/d_loss"]),
         row("R1 (img)", s["qvid_generator/r1_img"], "{:.4f}"),
         row("held-out rec PSNR (EMA)", s["qvid_eval/rec_psnr"], "{:.2f} dB"),
+        row("held-out rec PSNR (raw G)", s["qvid_eval/rec_psnr_raw"], "{:.2f} dB"),
         row("ADA p", s["qvid_eval/ada_p"], "{:.4f}"),
         "",
-        "rec-PSNR trajectory (every 25 iters):",
+        "rec-PSNR trajectory, raw G (every 25 iters; EMA in parentheses —",
+        "the reference's 0.999-decay EMA lags ~1/(1-decay)=1000 iters, so a",
+        "400-iter run's EMA is still dominated by init):",
         "",
         "```",
-        " ".join(f"{p[0]}:{p[1]:.1f}" for p in s["qvid_eval/rec_psnr"]),
+        " ".join(f"{p[0]}:{p[1]:.1f}" for p in s["qvid_eval/rec_psnr_raw"]),
+        "(EMA) " + " ".join(f"{p[0]}:{p[1]:.1f}" for p in s["qvid_eval/rec_psnr"]),
         "```",
         "",
     ]
