@@ -60,9 +60,10 @@ def main():
             from ccvs_tpu.utils.checkpoint import CheckpointManager
 
             state = CheckpointManager(ckpt_dir).load("qvid", "latest")
-            params = state.get("ema") or state["gen"]
+            # raw generator: at 400 iters the 0.999 EMA is still mostly init
+            params = state["gen"]
             trained = True
-            print("using trained sustained-run AE weights (EMA)", flush=True)
+            print("using trained sustained-run AE weights (raw G)", flush=True)
         except Exception as e:
             print(f"checkpoint load failed ({e}); random init", flush=True)
     if params is None:

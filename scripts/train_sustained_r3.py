@@ -86,7 +86,10 @@ def run_gpt(n_iter):
     cfg = gpt_cfg(n_iter)
     ckpt = CheckpointManager(os.path.join(SAVE, "checkpoints", AE_NAME))
     state = ckpt.load("qvid", "latest")
-    ae_params = state.get("ema") or state["gen"]
+    # raw generator, not EMA: at 400 iters the 0.999-decay EMA is still ~67%
+    # init (raw-G rec-PSNR 26 dB vs EMA 10 dB at iter 175 on the chip); the
+    # reference's EMA choice assumes its 100k+-iter schedules
+    ae_params = state["gen"]
     TransformerTrainer(cfg, ae_params).run()
 
 
