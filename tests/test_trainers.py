@@ -52,7 +52,7 @@ def test_ae_trainer_runs(tmp_path):
 
     cfg = _cfg(str(tmp_path))
     tr = FrameAutoencoderTrainer(cfg, dtype=jnp.float32)
-    state = tr.run(n_iter=3)
+    state = tr.run(n_iter=3, eval_every=2, snapshot_every=2)
     assert int(state.step) == 3
     # checkpoint written and reloadable
     from ccvs_tpu.utils.checkpoint import CheckpointManager
@@ -60,6 +60,17 @@ def test_ae_trainer_runs(tmp_path):
     ckpt = CheckpointManager(os.path.join(str(tmp_path), "checkpoints", "tiny"))
     restored = ckpt.load("qvid", "latest", target=state)
     assert int(restored.step) == 3
+    # held-out eval logs both the EMA and the raw-generator rec-PSNR (the
+    # 0.999 EMA lags far behind on short runs) and writes both snapshots
+    import json
+
+    lines = [json.loads(l) for l in
+             open(os.path.join(str(tmp_path), "logs", "tiny", "metrics.jsonl"))]
+    keys = {k for d in lines for k in d}
+    assert "qvid_eval/rec_psnr" in keys and "qvid_eval/rec_psnr_raw" in keys
+    snaps = os.listdir(os.path.join(str(tmp_path), "logs", "tiny", "snapshots"))
+    assert any(s.startswith("rec_0") for s in snaps)
+    assert any(s.startswith("rec_raw_") for s in snaps)
 
 
 def test_transformer_trainer_runs(tmp_path):
