@@ -43,12 +43,14 @@ def main():
     tr = TokenTransformer(cfg)
     model = tr.model
     params = None
+    trained = False
     ckpt_dir = os.path.join("runs_r3", "checkpoints", "r3_gpt_sustained")
     if os.path.isdir(ckpt_dir):
         try:
             from ccvs_tpu.utils.checkpoint import CheckpointManager
 
             params = CheckpointManager(ckpt_dir).load("transformer", "latest")["params"]
+            trained = True
             print("using trained sustained-run GPT weights", flush=True)
         except Exception as e:
             print(f"checkpoint load failed ({e}); random init", flush=True)
@@ -95,6 +97,7 @@ def main():
     rel = np.linalg.norm(lq - lb, axis=-1) / np.maximum(
         np.linalg.norm(lb, axis=-1), 1e-9)
     out = {
+        "trained_weights": trained,
         "logit_rel_err_mean": float(rel.mean()),
         "logit_rel_err_p95": float(np.percentile(rel, 95)),
         "logit_rel_err_max": float(rel.max()),
