@@ -41,4 +41,7 @@ run_stage flagship 5400 python scripts/flagship_configs_r3.py
 # Fresh bench under the final code state
 run_stage bench 3600 python bench.py
 
+# Serving batch-scaling study (B=1/2/4)
+run_stage batch_scaling 3600 python scripts/batch_scaling_r3.py
+
 echo "[pipeline] all stages done $(date)"
