@@ -289,3 +289,31 @@ def test_save_batch_include_id(tmp_path, rng):
                    vid_ids=np.asarray([42, 7]))
     assert (tmp_path / "real" / "vid_00042.avi").exists()
     assert (tmp_path / "fake" / "vid_00007.avi").exists()
+
+
+def test_generate_stft_audio_conditioned(rng):
+    """Audio-conditioned generation: the stft token stream is the given
+    control stream for every chunk (reference drums audio-on config,
+    `scripts/drums/save_videos_audio_on.sh:9-12` + `generator.py:107-117`)."""
+    from ccvs_tpu.config import StftConfig
+    from ccvs_tpu.models import StftModel
+
+    cfg = TransformerConfig(
+        z_num=32, z_len=128, z_chunk=32, num_blocks=4, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        stft=True, state_num=32, state_size=16, top_k=5,
+    )
+    stc = StftConfig(stft_size=16, stft_shape=(8, 2), stft_num=32)
+    ae = FrameAutoencoder(AE, dtype=jnp.float32)
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    sm = StftModel(stc)
+    key = jax.random.PRNGKey(0)
+    params = {"ae": ae.init(key), "gpt": tr.init(key, batch=1), "stft": sm.init(key)}
+    gen = VideoGenerator(Config(ae=AE, gpt=cfg, stft=stc), ae, tr, stft_model=sm)
+    vid = jnp.asarray(rng.randn(1, 4, 8, 8, 3).astype(np.float32)) * 0.1
+    stft = jnp.asarray(rng.rand(1, 4, 64, 16, 1).astype(np.float32))
+
+    out = gen.generate(params, jax.random.PRNGKey(1), vid, stft=stft,
+                       keep_state=True, rec=False)
+    assert out["fake"].shape == (1, 4, 8, 8, 3)
+    assert np.isfinite(np.asarray(out["fake"])).all()
