@@ -317,3 +317,48 @@ def test_generate_stft_audio_conditioned(rng):
                        keep_state=True, rec=False)
     assert out["fake"].shape == (1, 4, 8, 8, 3)
     assert np.isfinite(np.asarray(out["fake"])).all()
+
+
+def test_generate_unconditional_start_token(rng):
+    """Unconditional generation from the learned start token (reference
+    `scripts/bairhd/save_videos_unc.sh` + `transformer_model.py` start-token
+    prefix): cond_len=0, no context frames, decode from an empty FIFO."""
+    cfg = TransformerConfig(
+        z_num=32, z_len=64, z_chunk=16, num_blocks=4, cond_len=0,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        use_start_token=True, top_k=5,
+    )
+    ae = FrameAutoencoder(AE, dtype=jnp.float32)
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params = {"ae": ae.init(key), "gpt": tr.init(key, batch=1)}
+    gen = VideoGenerator(Config(ae=AE, gpt=cfg), ae, tr)
+    vid = jnp.asarray(rng.randn(1, 4, 8, 8, 3).astype(np.float32)) * 0.1
+    out = gen.generate(params, jax.random.PRNGKey(1), vid, rec=False)
+    assert out["fake"].shape == (1, 4, 8, 8, 3)
+    assert np.isfinite(np.asarray(out["fake"])).all()
+
+
+def test_generate_class_conditional(rng):
+    """Class-conditional generation (reference `--x_cat`,
+    `transformer_model.py` label prefix + `generator.py:120-123` random
+    target classes when none are provided)."""
+    cfg = TransformerConfig(
+        z_num=32, z_len=64, z_chunk=16, num_blocks=4, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        cat=True, num_lbl=5, top_k=5,
+    )
+    ae = FrameAutoencoder(AE, dtype=jnp.float32)
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params = {"ae": ae.init(key), "gpt": tr.init(key, batch=2)}
+    gen = VideoGenerator(Config(ae=AE, gpt=cfg), ae, tr)
+    vid = jnp.asarray(rng.randn(2, 4, 8, 8, 3).astype(np.float32)) * 0.1
+    # explicit labels
+    out = gen.generate(params, jax.random.PRNGKey(1), vid, rec=False,
+                       vid_lbl=jnp.asarray([1, 3]))
+    assert out["fake"].shape == (2, 4, 8, 8, 3)
+    # labels drawn when not provided
+    out2 = gen.generate(params, jax.random.PRNGKey(2), vid, rec=False)
+    assert "vid_lbl" in out2 and out2["vid_lbl"].shape == (2,)
+    assert np.isfinite(np.asarray(out2["fake"])).all()
