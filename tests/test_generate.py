@@ -362,3 +362,14 @@ def test_generate_class_conditional(rng):
     out2 = gen.generate(params, jax.random.PRNGKey(2), vid, rec=False)
     assert "vid_lbl" in out2 and out2["vid_lbl"].shape == (2,)
     assert np.isfinite(np.asarray(out2["fake"])).all()
+
+
+def test_generate_down_size(rng):
+    """`--down_size` degradation: inputs are down-bilinear-up resampled
+    before encoding (reference `generator.py:59-66`)."""
+    ae, tr, params = _models()
+    vid = jnp.asarray(rng.randn(1, 4, 8, 8, 3).astype(np.float32)) * 0.1
+    gen = VideoGenerator(Config(ae=AE, gpt=GPTC), ae, tr)
+    out = gen.generate(params, jax.random.PRNGKey(1), vid, rec=False, down_size=4)
+    assert out["fake"].shape == (1, 4, 8, 8, 3)
+    assert np.isfinite(np.asarray(out["fake"])).all()
