@@ -21,9 +21,9 @@ run_stage() {
   echo "[pipeline] === $name exit $rc $(date) ==="
 }
 
-# Phase B: latent transformer on the frozen phase-A AE (bounded at 3h;
+# Phase B: latent transformer on the frozen phase-A AE (bounded at 2h;
 # checkpoints roll every 50 iters so a timeout still leaves an artifact).
-run_stage gpt_run 10800 python scripts/train_sustained_r3.py --phase gpt --n-iter 300
+run_stage gpt_run 7200 python scripts/train_sustained_r3.py --phase gpt --n-iter 250
 
 # Training-run summary table -> TRAINRUN.md
 run_stage trainrun_summary 600 python scripts/train_sustained_r3.py --summary
