@@ -282,6 +282,10 @@ class TransformerConfig:
     # Default off: the exact bf16 path is the parity/bench path.
     serve_int8: bool = False
 
+    # rematerialize transformer blocks on the backward pass (training-memory
+    # vs recompute trade; lets full-length training fit a 16 GB chip)
+    remat: bool = False
+
     dtype: str = "bfloat16"
 
     @property

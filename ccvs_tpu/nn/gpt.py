@@ -223,8 +223,15 @@ class GPTCore(nn.Module):
                 )
                 return x, new_cache
 
+        body = _ScanBody
+        if cfg.remat:
+            # rematerialize each block on the backward pass: the stored
+            # (B, H, L, L) attention probabilities otherwise dominate HBM for
+            # training-length sequences (L~1k x 24 layers > 16 GB chips).
+            # grad-only effect; forward/decode programs are unchanged.
+            body = nn.remat(_ScanBody, prevent_cse=False)
         scan = nn.scan(
-            _ScanBody,
+            body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True, "noise": True},
             in_axes=0,

@@ -68,6 +68,9 @@ def gpt_cfg(n_iter):
         n_iter=n_iter,
         save_latest_freq=50,  # crash-tolerant rolling checkpoint
         ae=dataclasses.replace(cfg.ae, skip_memory=4, skip_context=(1, 2, 3, 4)),
+        # block remat: without it the fwd/bwd step needs ~18 GB on one chip
+        # (measured OOM at B=4, L=1023); with it the full batch fits
+        gpt=dataclasses.replace(cfg.gpt, remat=True),
     )
 
 

@@ -309,3 +309,31 @@ def test_decoder_quantized_serving_variants(rng, kw):
     assert np.isfinite(rgb8).all()
     rel = np.abs(rgb8 - rgb).mean() / (np.abs(rgb).mean() + 1e-9)
     assert rel < 0.25, (kw, rel)  # quantized serving path tracks the exact one
+
+
+def test_gpt_remat_grads_match(rng):
+    """`TransformerConfig.remat` must change memory behavior only: same
+    params, same loss, same grads as the non-remat stack."""
+    import dataclasses
+
+    import numpy as np
+
+    from ccvs_tpu.config import TransformerConfig
+    from ccvs_tpu.models import TokenTransformer
+
+    cfg = TransformerConfig(
+        z_num=32, z_len=64, z_chunk=16, num_blocks=4, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        top_k=5,
+    )
+    t0 = TokenTransformer(cfg, dtype=jnp.float32)
+    t1 = TokenTransformer(dataclasses.replace(cfg, remat=True), dtype=jnp.float32)
+    params = t0.init(jax.random.PRNGKey(0), batch=2)
+    code = jnp.asarray(rng.randint(0, 32, (2, 64)))
+    l0 = float(t0.loss(params, code)[0])
+    l1 = float(t1.loss(params, code)[0])
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    g0 = jax.grad(lambda p: t0.loss(p, code)[0])(params)
+    g1 = jax.grad(lambda p: t1.loss(p, code)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
