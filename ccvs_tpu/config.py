@@ -135,6 +135,10 @@ class AutoencoderConfig:
     # (Matching/Subpixel convs0-2 + proj); flow/occ heads stay fp. Quality-
     # gated on chip before use (see scripts/int8_gate_r3.py).
     serve_int8_dec: bool = False
+    # split InterBlock concat convs into a shared-x term computed once per
+    # batch element + a per-context term (exact by conv linearity); opt-out
+    # for within-run A/B against the plain tiled-concat form
+    shared_x_split: bool = True
     # opt-in int8 warp source: the context features are quantized per-channel
     # to int8 once per InterBlock and every bilinear warp gathers int8 (half
     # the HBM tile reads — the warps are the majority of a decode step).

@@ -146,9 +146,13 @@ class Matching(nn.Module):
                 tgt = max(16, self.feat_size // 4)
                 proj = ConvLayerAE(self.feat_size, tgt, 1, int8=q8,
                                    dtype=self.dtype, name="proj")
-                # x-side projection computed once per batch element, then
-                # broadcast over the k contexts
-                px, pi = jnp.repeat(proj(xc), k, axis=0), proj(ic)
+                if cfg.shared_x_split:
+                    # x-side projection computed once per batch element, then
+                    # broadcast over the k contexts
+                    px = jnp.repeat(proj(xc), k, axis=0)
+                else:
+                    px = proj(jnp.repeat(xc, k, axis=0))
+                pi = proj(ic)
             else:
                 px, pi = jnp.repeat(xc, k, axis=0), ic
             corr = local_correlation(
@@ -161,8 +165,13 @@ class Matching(nn.Module):
             feat = ConvLayerAE(49, 128, 3, int8=q8, dtype=self.dtype, name="convs0")(corr)
         else:
             # concat([x, inter]) conv, with the x block computed shared-once
-            feat = ConvLayerAE(self.feat_size * 2, 128, 3, int8=q8, dtype=self.dtype,
-                               name="convs0")(inter, shared=x, k=k)
+            conv0 = ConvLayerAE(self.feat_size * 2, 128, 3, int8=q8,
+                                dtype=self.dtype, name="convs0")
+            if cfg.shared_x_split:
+                feat = conv0(inter, shared=x, k=k)
+            else:
+                xt = jnp.repeat(x, k, axis=0).astype(inter.dtype)
+                feat = conv0(jnp.concatenate([xt, inter], axis=-1))
         feat = ConvLayerAE(128, 64, 3, int8=q8, dtype=self.dtype, name="convs1")(feat)
         feat = ConvLayerAE(64, 32, 3, int8=q8, dtype=self.dtype, name="convs2")(feat)
 
@@ -195,8 +204,13 @@ class Subpixel(nn.Module):
         else:
             warped = backwarp(inter, flow * self.flow_mult)
         rest = jnp.concatenate([warped, flow, occ], axis=-1)
-        feat = ConvLayerAE(2 * self.feat_size + 3, 128, 3, int8=q8, dtype=self.dtype,
-                           name="convs0")(rest, shared=x, k=k)
+        conv0 = ConvLayerAE(2 * self.feat_size + 3, 128, 3, int8=q8,
+                            dtype=self.dtype, name="convs0")
+        if self.cfg.shared_x_split:
+            feat = conv0(rest, shared=x, k=k)
+        else:
+            xt = jnp.repeat(x, k, axis=0).astype(rest.dtype)
+            feat = conv0(jnp.concatenate([xt, rest], axis=-1))
         feat = ConvLayerAE(128, 64, 3, int8=q8, dtype=self.dtype, name="convs1")(feat)
         feat = ConvLayerAE(64, 32, 3, int8=q8, dtype=self.dtype, name="convs2")(feat)
         flow = flow + ConvLayerAE(32, 2, self.kernel, activate=False, dtype=self.dtype, name="flow_head")(feat)

@@ -337,3 +337,29 @@ def test_gpt_remat_grads_match(rng):
     g1 = jax.grad(lambda p: t1.loss(p, code)[0])(params)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_shared_x_split_flag_identical(rng):
+    """`shared_x_split` on/off must decode identically on the same params
+    (the split is exact by conv linearity; flag exists for on-chip A/B)."""
+    import dataclasses
+
+    import numpy as np
+
+    from ccvs_tpu.config import AutoencoderConfig
+    from ccvs_tpu.models import FrameAutoencoder
+
+    cfg = AutoencoderConfig(
+        necf=8, necf_mult=(1, 2), ndcf=8, ndcf_mult=(1, 2),
+        z_size=16, z_num=32, z_shape=(4, 4), max_dim=8,
+        inter_p=0.5, skip_memory=3, skip_context=(1, 2, 3),
+    )
+    ae0 = FrameAutoencoder(cfg, dtype=jnp.float32)
+    ae1 = FrameAutoencoder(dataclasses.replace(cfg, shared_x_split=False),
+                           dtype=jnp.float32)
+    params = ae0.init(jax.random.PRNGKey(0))
+    vid = jnp.asarray(rng.randn(2, 4, 8, 8, 3).astype(np.float32)) * 0.1
+    enc = ae0.encode(params, vid)
+    out0 = np.asarray(ae0.decode_video(params, enc["code"], ctx_frames=vid[:, :1], n_ctx=1))
+    out1 = np.asarray(ae1.decode_video(params, enc["code"], ctx_frames=vid[:, :1], n_ctx=1))
+    np.testing.assert_allclose(out0, out1, atol=2e-5)
