@@ -37,18 +37,15 @@ VID_LEN = 16
 N_CTX = 1
 
 
-# Quantized-serving quality gates (on-chip, trained weights; see
-# scripts/dec_quant_gate_r3.py / scripts/int8_gate_r3.py). The bench runs
-# the quantized serving configuration ONLY when the committed gate artifacts
-# pass these thresholds; CCVS_BENCH_SERVE=exact forces the exact-bf16 path.
-DEC_GATE = "runs_r3/dec_quant_gate.json"
+# GPT int8-serving quality gate (on-chip, trained weights; see
+# scripts/int8_gate_r3.py). The bench turns on the int8 AR decode ONLY when
+# the committed gate artifact passes these thresholds; CCVS_BENCH_SERVE=exact
+# forces the exact-bf16 path. (Int8 decoder-conv and int8 warp-source serving
+# variants were also built and gate-measured SLOWER than exact on v5e —
+# runs_r3/dec_quant_gate.json — and were removed; scripts/PERF_NOTES.md.)
 GPT_GATE = "runs_r3/int8_gate.json"
-DEC_PSNR_MIN = 38.0     # dB vs the exact decode on trained weights
 GPT_AGREE_MIN = 0.97    # same-key sampled-token agreement at T=1/top-k 100
 GPT_TV_MAX = 0.05       # mean total variation of the top-k distribution
-_DEC_FLAGS = {"int8_dec": {"serve_int8_dec": True},
-              "q8_warp": {"serve_q8_warp": True},
-              "int8_dec+q8_warp": {"serve_int8_dec": True, "serve_q8_warp": True}}
 
 
 def _load(path):
@@ -60,42 +57,25 @@ def _load(path):
 
 
 def serving_mode():
-    """(ae_flags, gpt_int8, info) chosen from the gate artifacts."""
+    """(gpt_int8, info) chosen from the gate artifact."""
     info = {"serving": "exact-bf16"}
     if os.environ.get("CCVS_BENCH_SERVE", "auto") == "exact":
-        return {}, False, info
-    ae_flags, gpt_int8 = {}, False
-    dec = _load(DEC_GATE)
-    if dec and dec.get("trained_weights"):
-        best = None
-        for name, flags in _DEC_FLAGS.items():
-            psnr = dec.get(f"psnr_vs_exact/{name}")
-            spd = dec.get(f"speedup/{name}", 0)
-            if psnr is not None and psnr >= DEC_PSNR_MIN and spd > 1.02:
-                if best is None or spd > best[1]:
-                    best = (name, spd, psnr, flags)
-        if best:
-            ae_flags = best[3]
-            info["dec_variant"] = best[0]
-            info["dec_gate_psnr_db"] = best[2]
-            info["dec_gate_speedup"] = best[1]
+        return False, info
+    gpt_int8 = False
     gpt = _load(GPT_GATE)
     if (gpt and gpt.get("trained_weights")
             and gpt.get("token_agreement", 0) >= GPT_AGREE_MIN
             and gpt.get("topk_tv_mean", 1) <= GPT_TV_MAX):
         gpt_int8 = True
+        info["serving"] = "int8 AR decode (quality-gated)"
         info["gpt_int8_agreement"] = gpt["token_agreement"]
         info["gpt_int8_topk_tv"] = gpt["topk_tv_mean"]
-    if ae_flags or gpt_int8:
-        info["serving"] = "quantized (quality-gated)"
-    return ae_flags, gpt_int8, info
+    return gpt_int8, info
 
 
 def main():
     cfg = bairhd_config()
-    ae_flags, gpt_int8, serve_info = serving_mode()
-    if ae_flags:
-        cfg = cfg.replace(ae=dataclasses.replace(cfg.ae, **ae_flags))
+    gpt_int8, serve_info = serving_mode()
     if gpt_int8:
         cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, serve_int8=True))
     ae = FrameAutoencoder(cfg.ae, dtype=jnp.bfloat16)

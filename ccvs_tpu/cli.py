@@ -117,12 +117,6 @@ def main(argv=None):
                            help="int8 weight-quantized AR decode (1.5x "
                                 "tokens/sec; sampling distribution shifts "
                                 "slightly vs the exact bf16 path)")
-            p.add_argument("--serve-int8-dec", action="store_true",
-                           help="int8 InterBlock convs in the frame decoder "
-                                "(quality-gated: see PARITY.md int8 table)")
-            p.add_argument("--serve-q8-warp", action="store_true",
-                           help="int8 warp-source gathers in the frame "
-                                "decoder (quality-gated: see PARITY.md)")
 
     for task in ("eval-fvd", "eval-metrics"):
         p = sub.add_parser(task)
@@ -208,10 +202,6 @@ def _generate(args):
     cfg = _config(args)
     if getattr(args, "serve_int8", False):
         cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, serve_int8=True))
-    if getattr(args, "serve_int8_dec", False):
-        cfg = cfg.replace(ae=dataclasses.replace(cfg.ae, serve_int8_dec=True))
-    if getattr(args, "serve_q8_warp", False):
-        cfg = cfg.replace(ae=dataclasses.replace(cfg.ae, serve_q8_warp=True))
     ae = FrameAutoencoder(cfg.ae)
     tr = TokenTransformer(cfg.gpt)
     params = {"ae": _load_ae_params(args, cfg)}

@@ -131,18 +131,13 @@ class AutoencoderConfig:
     keep_first: bool = False
     n_first: int = 1
     p2p_context: bool = False
-    # opt-in serving quantization of the MAC-heavy InterBlock convs
-    # (Matching/Subpixel convs0-2 + proj); flow/occ heads stay fp. Quality-
-    # gated on chip before use (see scripts/int8_gate_r3.py).
-    serve_int8_dec: bool = False
     # split InterBlock concat convs into a shared-x term computed once per
-    # batch element + a per-context term (exact by conv linearity); opt-out
-    # for within-run A/B against the plain tiled-concat form
+    # batch element + a per-context term (exact by conv linearity, measured
+    # 1.2-1.4x faster decode on chip); opt-out for within-run A/B against
+    # the plain tiled-concat form. Int8 serving variants of these convs and
+    # of the warp gathers were built and gate-measured SLOWER on v5e
+    # (runs_r3/dec_quant_gate.json) and removed — see scripts/PERF_NOTES.md.
     shared_x_split: bool = True
-    # opt-in int8 warp source: the context features are quantized per-channel
-    # to int8 once per InterBlock and every bilinear warp gathers int8 (half
-    # the HBM tile reads — the warps are the majority of a decode step).
-    serve_q8_warp: bool = False
 
     # layout twins
     use_layout: bool = False

@@ -66,16 +66,14 @@ class Matching(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, k, inter, flow, occ, toff, inter_q=None):
+    def __call__(self, x, k, inter, flow, occ, toff):
         """``x``: (B, h, w, s) decoder features SHARED across the k contexts
         (the reference repeats them per context, `skip_autoencoder.py:246`;
         here every x-consuming conv computes its x-term once per batch element
         and broadcasts — exact by conv linearity). ``inter``/``flow``/``occ``
-        are (B*k, ...), b-major k-minor. ``inter_q``: optional (int8, scale)
-        quantized twin of ``inter`` — warps gather from it (serve_q8_warp)."""
+        are (B*k, ...), b-major k-minor."""
         cfg = self.cfg
         use_corr = not cfg.no_corr
-        q8 = cfg.serve_int8_dec  # opt-in int8 serving for the MAC-heavy convs
         # At corr_stride > 1 the warped inter is consumed ONLY through
         # proj -> correlation, and the correlation samples its inputs at
         # stride positions (`modules/correlation.py:32-100`) — so warp just
@@ -110,11 +108,7 @@ class Matching(nn.Module):
                     db.astype(inter.dtype),
                 )
             elif not fast_strided:
-                if inter_q is not None:
-                    inter = (backwarp(inter_q[0], flow * self.flow_mult)
-                             * inter_q[1]).astype(self.dtype)
-                else:
-                    inter = backwarp(inter, flow * self.flow_mult)
+                inter = backwarp(inter, flow * self.flow_mult)
             if cfg.use_masked_flow:
                 inter = inter * (1.0 - jax.nn.sigmoid(occ))
             if cfg.use_tradeoff:
@@ -133,18 +127,14 @@ class Matching(nn.Module):
                 if flow is not None:
                     from ccvs_tpu.ops import backwarp_sampled
 
-                    if inter_q is not None:
-                        ic = (backwarp_sampled(inter_q[0], flow * self.flow_mult, s)
-                              * inter_q[1]).astype(self.dtype)
-                    else:
-                        ic = backwarp_sampled(inter, flow * self.flow_mult, s)
+                    ic = backwarp_sampled(inter, flow * self.flow_mult, s)
                 else:
                     ic = inter[:, ::s, ::s]
             else:
                 xc, ic = x, inter
             if self.feat_size > 16 and not cfg.no_proj:
                 tgt = max(16, self.feat_size // 4)
-                proj = ConvLayerAE(self.feat_size, tgt, 1, int8=q8,
+                proj = ConvLayerAE(self.feat_size, tgt, 1,
                                    dtype=self.dtype, name="proj")
                 if cfg.shared_x_split:
                     # x-side projection computed once per batch element, then
@@ -162,18 +152,18 @@ class Matching(nn.Module):
             corr = leaky_relu(corr, 0.1).astype(x.dtype)
             if self.corr_stride != 1:
                 corr = GroupedUpsample(49, dtype=self.dtype, name="upsample_corr")(corr)
-            feat = ConvLayerAE(49, 128, 3, int8=q8, dtype=self.dtype, name="convs0")(corr)
+            feat = ConvLayerAE(49, 128, 3, dtype=self.dtype, name="convs0")(corr)
         else:
             # concat([x, inter]) conv, with the x block computed shared-once
-            conv0 = ConvLayerAE(self.feat_size * 2, 128, 3, int8=q8,
+            conv0 = ConvLayerAE(self.feat_size * 2, 128, 3,
                                 dtype=self.dtype, name="convs0")
             if cfg.shared_x_split:
                 feat = conv0(inter, shared=x, k=k)
             else:
                 xt = jnp.repeat(x, k, axis=0).astype(inter.dtype)
                 feat = conv0(jnp.concatenate([xt, inter], axis=-1))
-        feat = ConvLayerAE(128, 64, 3, int8=q8, dtype=self.dtype, name="convs1")(feat)
-        feat = ConvLayerAE(64, 32, 3, int8=q8, dtype=self.dtype, name="convs2")(feat)
+        feat = ConvLayerAE(128, 64, 3, dtype=self.dtype, name="convs1")(feat)
+        feat = ConvLayerAE(64, 32, 3, dtype=self.dtype, name="convs2")(feat)
 
         dflow = ConvLayerAE(32, 2, self.kernel, activate=False, dtype=self.dtype, name="flow_head")(feat)
         docc = ConvLayerAE(32, 1, self.kernel, activate=False, dtype=self.dtype, name="occ_head")(feat)
@@ -192,27 +182,22 @@ class Subpixel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, k, inter, flow, occ, inter_q=None):
+    def __call__(self, x, k, inter, flow, occ):
         """``x``: (B, h, w, s) shared decoder features (see Matching); the
         concat([x, warped, flow, occ]) conv computes its x block once per
         batch element — exact by conv linearity, and the single biggest
         k-redundancy in the decode step (~22% of InterBlock conv MACs)."""
-        q8 = self.cfg.serve_int8_dec
-        if inter_q is not None:
-            warped = (backwarp(inter_q[0], flow * self.flow_mult)
-                      * inter_q[1]).astype(self.dtype)
-        else:
-            warped = backwarp(inter, flow * self.flow_mult)
+        warped = backwarp(inter, flow * self.flow_mult)
         rest = jnp.concatenate([warped, flow, occ], axis=-1)
-        conv0 = ConvLayerAE(2 * self.feat_size + 3, 128, 3, int8=q8,
+        conv0 = ConvLayerAE(2 * self.feat_size + 3, 128, 3,
                             dtype=self.dtype, name="convs0")
         if self.cfg.shared_x_split:
             feat = conv0(rest, shared=x, k=k)
         else:
             xt = jnp.repeat(x, k, axis=0).astype(rest.dtype)
             feat = conv0(jnp.concatenate([xt, rest], axis=-1))
-        feat = ConvLayerAE(128, 64, 3, int8=q8, dtype=self.dtype, name="convs1")(feat)
-        feat = ConvLayerAE(64, 32, 3, int8=q8, dtype=self.dtype, name="convs2")(feat)
+        feat = ConvLayerAE(128, 64, 3, dtype=self.dtype, name="convs1")(feat)
+        feat = ConvLayerAE(64, 32, 3, dtype=self.dtype, name="convs2")(feat)
         flow = flow + ConvLayerAE(32, 2, self.kernel, activate=False, dtype=self.dtype, name="flow_head")(feat)
         occ = occ + ConvLayerAE(32, 1, self.kernel, activate=False, dtype=self.dtype, name="occ_head")(feat)
         toff = feat if self.cfg.use_tradeoff else None
@@ -242,33 +227,16 @@ class InterBlock(nn.Module):
         h, w, s = x.shape[1:]
         inters_f = inters.reshape(b * k, *inters.shape[2:])
 
-        # Opt-in int8 warp source: quantize the context features ONCE, then
-        # the 2-3 bilinear warps of this block all gather int8 (half the HBM
-        # tile reads). Per-(slot, channel) symmetric scales; dequant is a
-        # fused multiply after each warp (commutes with the lerp).
-        inter_q = None
-        if self.cfg.serve_q8_warp and not self.cfg.use_deformed_conv:
-            af = jnp.maximum(jnp.max(jnp.abs(inters_f.astype(jnp.float32)),
-                                     axis=(1, 2), keepdims=True), 1e-8)
-            qscale = (af / 127.0).astype(jnp.bfloat16)
-            q8 = jnp.clip(jnp.round(inters_f.astype(jnp.float32) / af * 127.0),
-                          -127, 127).astype(jnp.int8)
-            inter_q = (q8, qscale)
-
         flows, occs = Matching(
             self.cfg, self.flow_mult, self.kernel, self.feat_size, self.corr_stride,
             self.first, dtype=self.dtype, name="matching",
-        )(x, k, inters_f, flows, occs, toffs, inter_q=inter_q)
+        )(x, k, inters_f, flows, occs, toffs)
         flows, occs, toffs = Subpixel(
             self.cfg, self.flow_mult, self.kernel, self.feat_size, dtype=self.dtype,
             name="subpixel",
-        )(x, k, inters_f, flows, occs, inter_q=inter_q)
+        )(x, k, inters_f, flows, occs)
 
-        if inter_q is not None:
-            warped = (backwarp(inter_q[0], flows * self.flow_mult)
-                      * inter_q[1]).astype(self.dtype)
-        else:
-            warped = backwarp(inters_f, flows * self.flow_mult)
+        warped = backwarp(inters_f, flows * self.flow_mult)
 
         # Confidence-weighted fusion over contexts. With k == 1 and full mask
         # this reduces exactly to the reference's single-context path.

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from ccvs_tpu.ops import conv2d, conv3d, conv_transpose2d, fused_leaky_relu, upfirdn2d
-from ccvs_tpu.ops.convops import conv2d_int8
 from ccvs_tpu.ops.fused_act import leaky_relu
 from ccvs_tpu.ops.upfirdn2d import make_resample_kernel
 
@@ -37,7 +36,6 @@ class EqualConv2d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     transpose: bool = False
-    int8: bool = False  # opt-in int8 serving conv (see ops.convops.conv2d_int8)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -64,8 +62,7 @@ class EqualConv2d(nn.Module):
             jnp.float32,
         )
         scale = 1.0 / math.sqrt(self.in_channel * self.kernel_size**2)
-        wf = w * scale  # fp32 effective weight
-        w = wf.astype(self.dtype)
+        w = (w * scale).astype(self.dtype)
         b = None
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channel,), jnp.float32)
@@ -75,16 +72,14 @@ class EqualConv2d(nn.Module):
             assert shared is None
             # reference: conv_transpose2d(x, weight.transpose(0, 1) * scale)
             return conv_transpose2d(x, jnp.swapaxes(w, 0, 1), b, stride=self.stride, padding=self.padding)
-        cv = conv2d_int8 if self.int8 else conv2d
-        wc = wf if self.int8 else w
         if shared is not None:
             c0 = shared.shape[-1]
-            ys = cv(shared.astype(self.dtype), wc[:, :c0], None,
-                    stride=self.stride, padding=self.padding)
+            ys = conv2d(shared.astype(self.dtype), w[:, :c0], None,
+                        stride=self.stride, padding=self.padding)
             ys = jnp.repeat(ys, k, axis=0)
-            out = ys + cv(x, wc[:, c0:], b, stride=self.stride, padding=self.padding)
+            out = ys + conv2d(x, w[:, c0:], b, stride=self.stride, padding=self.padding)
         else:
-            out = cv(x, wc, b, stride=self.stride, padding=self.padding)
+            out = conv2d(x, w, b, stride=self.stride, padding=self.padding)
         return out.astype(self.dtype)
 
 
@@ -185,7 +180,6 @@ class ConvLayerAE(nn.Module):
     upsample: bool = False
     use_bias: bool = True
     activate: bool = True
-    int8: bool = False  # opt-in int8 serving conv (plain stride-1 path only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -212,7 +206,7 @@ class ConvLayerAE(nn.Module):
             x = EqualConv2d(
                 self.in_channel, self.out_channel, self.kernel_size,
                 stride=1, padding=self.kernel_size // 2, use_bias=self.use_bias,
-                int8=self.int8, dtype=self.dtype, name="conv",
+                dtype=self.dtype, name="conv",
             )(x, shared=shared, k=k)
         if self.activate:
             x = leaky_relu(x, 0.1)

@@ -31,39 +31,6 @@ def _triple(v):
     return (v, v, v) if isinstance(v, int) else tuple(v)
 
 
-def conv2d_int8(x, w, b=None, stride=1, padding=0):
-    """int8 weight+activation quantized conv (opt-in serving path).
-
-    Per-output-channel symmetric weight scales, per-tensor dynamic activation
-    scale, int32 MXU accumulation (v5e int8 peak is 2x bf16), fp32 dequant +
-    bias. Quantization happens in-graph: the kernels are tiny next to the
-    pixel grid at decode shapes, so the round/clip cost is negligible.
-    Serving extension — the reference decodes in fp32/amp with no
-    quantization (`quantized_video_model.py:849-907`).
-    """
-    stride, padding = _pair(stride), _pair(padding)
-    wf = w.astype(jnp.float32)
-    aw = jnp.max(jnp.abs(wf), axis=(1, 2, 3), keepdims=True)  # (O, 1, 1, 1)
-    sw = jnp.maximum(aw, 1e-8) / 127.0
-    w8 = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
-    xf = x.astype(jnp.float32)
-    ax = jnp.max(jnp.abs(xf))
-    sx = jnp.maximum(ax, 1e-8) / 127.0
-    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    out = lax.conv_general_dilated(
-        x8,
-        jnp.transpose(w8, (2, 3, 1, 0)),
-        window_strides=stride,
-        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
-    out = out.astype(jnp.float32) * (sx * sw[:, 0, 0, 0][None, None, None, :])
-    if b is not None:
-        out = out + b.astype(jnp.float32)
-    return out
-
-
 def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1):
     """2D cross-correlation, torch ``F.conv2d`` semantics, NHWC activations.
 

@@ -287,30 +287,6 @@ def test_split_conv_shared_identity(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("kw", [{"serve_int8_dec": True}, {"serve_q8_warp": True},
-                                {"serve_int8_dec": True, "serve_q8_warp": True}])
-def test_decoder_quantized_serving_variants(rng, kw):
-    """serve_int8_dec / serve_q8_warp: identical param tree, finite output,
-    bounded drift vs the exact graph on the same params."""
-    import dataclasses
-
-    cfg8 = dataclasses.replace(AE, **kw)
-    enc = SkipEncoder(AE)
-    x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
-    ep = enc.init(jax.random.PRNGKey(0), x)
-    z, inters = enc.apply(ep, x)
-    dec, dec8 = SkipDecoder(AE), SkipDecoder(cfg8)
-    dp = dec.init(jax.random.PRNGKey(1), z, [inters])
-    assert jax.tree_util.tree_structure(dp) == jax.tree_util.tree_structure(
-        dec8.init(jax.random.PRNGKey(1), z, [inters]))
-    rgb, _ = dec.apply(dp, z, [inters])
-    rgb8, _ = dec8.apply(dp, z, [inters])  # same params, quantized graph
-    rgb, rgb8 = np.asarray(rgb), np.asarray(rgb8)
-    assert np.isfinite(rgb8).all()
-    rel = np.abs(rgb8 - rgb).mean() / (np.abs(rgb).mean() + 1e-9)
-    assert rel < 0.25, (kw, rel)  # quantized serving path tracks the exact one
-
-
 def test_gpt_remat_grads_match(rng):
     """`TransformerConfig.remat` must change memory behavior only: same
     params, same loss, same grads as the non-remat stack."""
