@@ -82,7 +82,7 @@ def run_ae(n_iter, resume=False):
                                      serialize_steps=True, resume=resume)
 
 
-def run_gpt(n_iter):
+def run_gpt(n_iter, resume=False):
     from ccvs_tpu.train.transformer_trainer import TransformerTrainer
     from ccvs_tpu.utils.checkpoint import CheckpointManager
 
@@ -93,7 +93,7 @@ def run_gpt(n_iter):
     # init (raw-G rec-PSNR 26 dB vs EMA 10 dB at iter 175 on the chip); the
     # reference's EMA choice assumes its 100k+-iter schedules
     ae_params = state["gen"]
-    TransformerTrainer(cfg, ae_params).run()
+    TransformerTrainer(cfg, ae_params).run(resume=resume)
 
 
 def _series(log_name, keys):
@@ -189,6 +189,6 @@ if __name__ == "__main__":
     elif args.phase == "ae":
         run_ae(args.n_iter, resume=args.resume)
     elif args.phase == "gpt":
-        run_gpt(args.n_iter)
+        run_gpt(args.n_iter, resume=args.resume)
     else:
         ap.error("pass --phase ae|gpt or --summary")
