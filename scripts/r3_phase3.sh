@@ -28,9 +28,9 @@ run_stage() {
 run_stage gpt_run 5400 python scripts/train_sustained_r3.py --phase gpt --n-iter 250 --resume
 run_stage trainrun_summary 600 python scripts/train_sustained_r3.py --summary
 run_stage int8_gate 3600 python scripts/int8_gate_r3.py
-run_stage probe13 1800 python scripts/perf_probe13.py
-run_stage flagship 5400 python scripts/flagship_configs_r3.py
 run_stage bench 3600 python bench.py
+run_stage flagship 5400 python scripts/flagship_configs_r3.py
+run_stage probe13 1800 python scripts/perf_probe13.py
 run_stage batch_scaling 3600 python scripts/batch_scaling_r3.py
 
 echo "[pipeline3] all stages done $(date)"

@@ -230,8 +230,11 @@ def test_decode_video_bucketing_invariance(rng):
     vid = jnp.asarray(rng.randn(2, 4, 8, 8, 3).astype(np.float32)) * 0.1
     enc = ae.encode(params["ae"], vid)
     out_bucketed = ae.decode_video(params["ae"], enc["code"], ctx_frames=vid[:, :1], n_ctx=1)
-    # force full-slot programs by monkeypatching the bucket fn
-    orig = type(ae)._bucket
+    # force full-slot programs by monkeypatching the bucket fn. NOTE: class
+    # attribute access unwraps the staticmethod descriptor, so the restore
+    # must re-wrap it — assigning the bare function back would turn _bucket
+    # into a self-binding method for every later test in the session.
+    orig = type(ae).__dict__["_bucket"]
     try:
         type(ae)._bucket = staticmethod(lambda k, m: m)
         ae2 = type(ae)(ae.cfg, dtype=jnp.float32)
