@@ -9,8 +9,12 @@ generate` runs (sampled + beam) with serve_int8 on, timed within-run against
 bf16. Results recorded in PARITY.md.
 
 Run on the chip:   python scripts/int8_gate_r3.py
+Quality part only (backend-independent; valid on CPU when the chip tunnel
+is down — the 1.54x speed side was measured on-chip by perf_probe11):
+                   python scripts/int8_gate_r3.py --quality-only --cpu
 """
 
+import argparse
 import json
 import os
 import sys
@@ -18,9 +22,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ARGS = argparse.ArgumentParser()
+ARGS.add_argument("--quality-only", action="store_true")
+ARGS.add_argument("--cpu", action="store_true")
+ARGS = ARGS.parse_args()
+if ARGS.cpu:
+    os.environ.pop("JAX_PLATFORMS", None)
+
 import numpy as np
 
 import jax
+
+if ARGS.cpu:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 
@@ -124,7 +138,14 @@ def main():
     out["token_agreement"] = float((pick_b == pick_q).mean())
     out["n_tokens_scored"] = int(pick_b.size)
 
+    out["backend"] = jax.default_backend()
+
     # 3) end-to-end generate: bf16 vs int8 timing (within-run), + beam x int8
+    if ARGS.quality_only:
+        print(json.dumps(out, indent=1))
+        with open("runs_r3/int8_gate.json", "w") as f:
+            json.dump(out, f, indent=1)
+        return
     ctx = tokens[:, :cond]
 
     def run_gen(gcfg, label):
