@@ -86,6 +86,8 @@ def _load_ae_params(args, cfg):
 
     ckpt = CheckpointManager(args.ae_ckpt)
     state = ckpt.load("qvid", args.ae_which)
+    if getattr(args, "ae_raw", False):
+        return state["gen"]
     # prefer EMA weights at inference (`quantized_video_model.py:177-179`)
     return state.get("ema") or state["gen"]
 
@@ -100,6 +102,12 @@ def main(argv=None):
         if task != "train-ae":
             p.add_argument("--ae-ckpt", default=None)
             p.add_argument("--ae-which", default="latest")
+            p.add_argument("--ae-raw", action="store_true",
+                           help="use the raw generator weights instead of the "
+                                "EMA copy (the reference always prefers EMA, "
+                                "`quantized_video_model.py:177-179`, which "
+                                "assumes its 100k+-iter schedules; a short "
+                                "run's 0.999-decay EMA is still mostly init)")
         if task == "generate":
             p.add_argument("--gpt-ckpt", required=True)
             p.add_argument("--gpt-which", default="latest")

@@ -60,8 +60,12 @@ class PrefetchLoader:
     def __len__(self):
         n = len(self.dataset)
         if self.host_shard is not None:
-            hid, nh = self.host_shard
-            n = len(range(hid, n, nh))
+            # Every host must yield the SAME batch count: put_batch is a
+            # cross-process collective, so a short shard on one host would
+            # deadlock the others (the reference's DistributedSampler pads
+            # shards equal for the same reason, `tools/engine.py:87`).
+            _, nh = self.host_shard
+            n = -(-n // nh)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _index_order(self):
@@ -70,6 +74,9 @@ class PrefetchLoader:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         if self.host_shard is not None:
             hid, nh = self.host_shard
+            pad = (-len(idx)) % nh
+            if pad:  # wraparound padding -> equal-length per-host shards
+                idx = np.concatenate([idx, idx[:pad]])
             idx = idx[hid::nh]
         return idx
 

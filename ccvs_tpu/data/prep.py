@@ -207,8 +207,11 @@ def download_kinetics(
     if missing:
         raise ValueError(f"input csv missing columns: {sorted(missing)}")
 
-    tmp_dir = os.path.join(output_dir, "tmp")
-    for name in {r["label"] for r in rows} | {"tmp"}:
+    # Dot-prefixed scratch dir: a CSV label can never collide with it
+    # (labels become plain subdirs of output_dir).
+    tmp_dir = os.path.join(output_dir, ".tmp_download")
+    os.makedirs(tmp_dir, exist_ok=True)
+    for name in {r["label"] for r in rows}:
         os.makedirs(os.path.join(output_dir, name), exist_ok=True)
 
     def one(row):
@@ -218,16 +221,22 @@ def download_kinetics(
         final = os.path.join(output_dir, label, f"{vid}_{start:g}_{dur:g}.mp4")
         if os.path.exists(final):
             return "cached"
-        raw = os.path.join(tmp_dir, vid + ".mp4") if trim else final
+        raw = os.path.join(tmp_dir, vid + ".mp4")
         try:
             if not os.path.exists(raw):
                 fetch_fn(vid, raw)
         except Exception as e:  # unavailable / private videos are expected
             print(f"unavailable: {vid} ({e})")
             return "failed"
-        if trim and not trim_fn(raw, final, start, dur):
-            print(f"trim failed: {vid}")
-            return "failed"
+        if trim:
+            if not trim_fn(raw, final, start, dur):
+                print(f"trim failed: {vid}")
+                return "failed"
+        else:
+            # Fetch lands in scratch, then an atomic rename publishes it —
+            # a fetch that dies mid-write can't leave a partial file that a
+            # rerun mistakes for a cached clip.
+            os.replace(raw, final)
         return "ok"
 
     with ThreadPoolExecutor(max_workers=max(1, num_jobs)) as ex:

@@ -194,7 +194,11 @@ def fvd_from_videos(real: np.ndarray, fake: np.ndarray, embed: Optional[Callable
     fallback embedder is used: the warning shouts and every output key is
     suffixed ``_uncalibrated`` so the numbers can't be mistaken for
     published-protocol FVD."""
-    calibrated = embed is not None or bool(i3d_npz and os.path.exists(i3d_npz))
+    if i3d_npz and not os.path.exists(i3d_npz):
+        # An explicitly-given path that is missing is a user error (typo),
+        # not a request for the random fallback.
+        raise FileNotFoundError(f"--i3d-npz {i3d_npz!r} does not exist")
+    calibrated = embed is not None or bool(i3d_npz)
     if embed is None:
         if calibrated:
             embed = make_i3d_embedder(i3d_npz)

@@ -576,6 +576,8 @@ class ContinuousTransformer:
         ``lax.scan`` of single-token cached decode steps (the discrete path's
         `decode_step_fn`) — not the reference's per-token O(T^2) full
         forwards."""
+        if int(total_len) <= code.shape[1]:
+            return code  # nothing to generate (reference loop runs 0 steps)
         key = (code.shape, int(total_len), bool(normalize_pred))
         if getattr(self, "_gen_cache", None) is None:
             self._gen_cache = {}

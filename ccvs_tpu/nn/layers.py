@@ -184,6 +184,11 @@ class ConvLayerAE(nn.Module):
 
     @nn.compact
     def __call__(self, x, shared=None, k=1):
+        # shared-x split convs exist only on the stride-1 path; silently
+        # dropping the shared block here would run the conv on tail channels
+        # against a full-width weight.
+        assert shared is None or not (self.downsample or self.upsample), (
+            "shared= is not supported on the down/upsample branches")
         blur_len = len(BLUR_KERNEL)
         if self.downsample:
             p = (blur_len - 2) + (self.kernel_size - 1)

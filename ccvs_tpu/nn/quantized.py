@@ -2,7 +2,7 @@
 
 The AR decode loop is weight-streaming bound: every token reads all block
 Dense kernels (~600 MB bf16 for the BAIR GPT). On v5e, int8 `dot_general`
-streams the same sweep ~2.2x faster (`scripts/perf_probe10.py`), so a
+streams the same sweep ~2.2x faster (probe 10, `scripts/PERF_NOTES.md`), so a
 weight+dynamic-activation int8 path roughly halves the per-token cost.
 
 Quantization scheme (standard weight-only-accuracy serving recipe):

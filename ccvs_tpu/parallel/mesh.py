@@ -70,8 +70,17 @@ def put_batch(mesh: Optional[Mesh], batch):
         # (SURVEY section 2.8; reference per-rank split `tools/engine.py:81-101`).
         def put(x):
             x = np.asarray(x)
-            if x.ndim >= 1 and x.shape[0] > 0 and (x.shape[0] * pc) % n == 0:
-                return jax.make_array_from_process_local_data(dsh, x)
+            if x.ndim >= 1 and x.shape[0] > 0:
+                if (x.shape[0] * pc) % n == 0:
+                    return jax.make_array_from_process_local_data(dsh, x)
+                # Replicating a per-host batch shard would silently build a
+                # "replicated" array whose buffers DIFFER across hosts
+                # (divergent gradients); refuse instead.
+                raise ValueError(
+                    f"multi-host put_batch: array with leading dim "
+                    f"{x.shape[0]} x {pc} hosts does not divide data axis "
+                    f"{n}; pad the per-host batch or replicate it yourself "
+                    f"if it is host-identical")
             return jax.make_array_from_process_local_data(repl, x)
 
         return jax.tree_util.tree_map(put, batch)

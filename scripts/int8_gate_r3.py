@@ -104,8 +104,10 @@ def main():
     sync(lb)
     print(f"teacher-forced dual decode compiled+ran in {time.time() - t0:.1f}s",
           flush=True)
-    lb = np.asarray(lb)[cond:, :, : cfg.z_num]  # score generated positions only
-    lq = np.asarray(lq)[cond:, :, : cfg.z_num]
+    # Score generated positions only: scan index j holds the prediction for
+    # position j+1, so generated positions cond..L-1 sit at indices cond-1..L-2.
+    lb = np.asarray(lb)[cond - 1 :, :, : cfg.z_num]
+    lq = np.asarray(lq)[cond - 1 :, :, : cfg.z_num]
 
     # 1) per-token logit relative error
     rel = np.linalg.norm(lq - lb, axis=-1) / np.maximum(

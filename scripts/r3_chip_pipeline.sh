@@ -28,8 +28,10 @@ run_stage gpt_run 7200 python scripts/train_sustained_r3.py --phase gpt --n-iter
 # Training-run summary table -> TRAINRUN.md
 run_stage trainrun_summary 600 python scripts/train_sustained_r3.py --summary
 
-# Quality+speed gates for the quantized serving paths (trained weights now exist)
-run_stage dec_quant_gate 3600 python scripts/dec_quant_gate_r3.py
+# Quality+speed gate for the int8 GPT serving path (trained weights now
+# exist). The decoder-quant gate stage that used to run here was removed
+# with its serving paths (gate-measured slower; runs_r3/dec_quant_gate.json
+# is the retained artifact).
 run_stage int8_gate 3600 python scripts/int8_gate_r3.py
 
 # w4a8 probe

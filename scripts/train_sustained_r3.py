@@ -169,9 +169,11 @@ def summary():
         ]
     except FileNotFoundError:
         lines += ["(transformer phase not run)", ""]
-    snaps = sorted(os.listdir(os.path.join(SAVE, "logs", AE_NAME, "snapshots")))
-    lines += [f"Reconstruction snapshots: `{SAVE}/logs/{AE_NAME}/snapshots/` "
-              f"({', '.join(snaps)})", ""]
+    snap_dir = os.path.join(SAVE, "logs", AE_NAME, "snapshots")
+    if os.path.isdir(snap_dir):
+        snaps = sorted(os.listdir(snap_dir))
+        lines += [f"Reconstruction snapshots: `{snap_dir}/` "
+                  f"({', '.join(snaps)})", ""]
     with open("TRAINRUN.md", "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))

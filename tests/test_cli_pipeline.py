@@ -93,10 +93,12 @@ def test_cli_full_pipeline(tmp_path, capsys):
               "--ae-ckpt", str(ae_ckpt), "--gpt-ckpt", str(ae_ckpt)])
     assert (tmp_path / "results" / "clitiny8" / "fake").is_dir()
 
-    # 7. --rec-only skips the AR generation entirely (reference --rec_only)
+    # 7. --rec-only skips the AR generation entirely (reference --rec_only);
+    #    --ae-raw selects the raw generator weights over the EMA copy
+    #    (short runs: the 0.999-decay EMA is still mostly init)
     cli.main(["generate", "--load-config", str(cfg_path),
               "--save-path", str(tmp_path), "--name", "clitinyrec",
-              "--n-batches", "1", "--rec-only",
+              "--n-batches", "1", "--rec-only", "--ae-raw",
               "--ae-ckpt", str(ae_ckpt), "--gpt-ckpt", str(ae_ckpt)])
     recres = tmp_path / "results" / "clitinyrec"
     assert (recres / "rec").is_dir()

@@ -169,6 +169,34 @@ def test_host_sharded_loading_matches_single_host():
     np.testing.assert_array_equal(got, want)
 
 
+def test_host_sharded_loading_pads_uneven_dataset():
+    """Dataset size not divisible by n_hosts: shards are wraparound-padded
+    equal so every host yields the SAME batch count — a short shard would
+    deadlock the cross-process collective in put_batch (the reference's
+    DistributedSampler pads for the same reason, `tools/engine.py:87`)."""
+    from ccvs_tpu.config import DataConfig
+    from ccvs_tpu.data import PrefetchLoader
+    from ccvs_tpu.data.base import SyntheticDataset
+
+    cfg = DataConfig(dataset="synthetic", max_dim=16, true_dim=32,
+                     batch_size_img=8, n_consecutive_img=1, img_out_of_n=4)
+    ds = SyntheticDataset(cfg, phase="valid", n_videos=7)
+    loaders = [PrefetchLoader(ds, 8, shuffle=True, num_workers=2, seed=7,
+                              host_shard=(h, 2)) for h in range(2)]
+    assert len(loaders[0]) == len(loaders[1]) == 1
+    batches = [list(iter(ld)) for ld in loaders]
+    assert [len(b) for b in batches] == [1, 1]
+    assert all(b[0]["img"].shape[0] == 4 for b in batches)
+    # the pad row wraps to the front of the shuffled index, so the 8
+    # assembled rows cover all 7 items plus exactly one duplicate
+    idx = np.arange(7)
+    np.random.RandomState(7).shuffle(idx)
+    rows = np.concatenate([ds[i]["img"] for i in np.concatenate([idx, idx[:1]])])
+    got = np.concatenate([batches[0][0]["img"], batches[1][0]["img"]])
+    np.testing.assert_array_equal(
+        np.sort(got.reshape(8, -1), axis=0), np.sort(rows.reshape(8, -1), axis=0))
+
+
 def test_shard_index_partitions_clips():
     """shard_index strides are disjoint and cover the full clip index."""
     from ccvs_tpu.data.clips import build_clip_index, shard_index
@@ -216,10 +244,19 @@ def test_download_kinetics_injected(tmp_path):
     assert counts == {"ok": 2, "failed": 1}
     assert (out / "jump" / "aaa_2_3.mp4").read_bytes() == b"rawaaa|2+3"
     assert (out / "run" / "ccc_1_1.mp4").read_bytes() == b"rawccc|1+1"
-    assert not (out / "tmp").exists()  # tmp cleaned up
+    assert not (out / ".tmp_download").exists()  # scratch cleaned up
 
     # second run: everything cached, nothing re-fetched
     fetched.clear()
     counts = download_kinetics(str(csv_path), str(out), trim=True, num_jobs=1,
                                fetch_fn=fetch, trim_fn=trim)
     assert counts["cached"] == 2 and fetched == []
+
+    # a label literally named "tmp" must survive the scratch cleanup, and
+    # trim=False publishes via atomic rename out of scratch
+    csv2 = tmp_path / "links2.csv"
+    csv2.write_text("label,youtube_id,time_start,time_end\ntmp,ddd,0,2\n")
+    counts = download_kinetics(str(csv2), str(out), trim=False, num_jobs=1,
+                               fetch_fn=fetch, trim_fn=trim)
+    assert counts == {"ok": 1}
+    assert (out / "tmp" / "ddd_0_2.mp4").read_bytes() == b"rawddd"

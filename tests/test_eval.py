@@ -49,6 +49,10 @@ def test_fvd_pipeline(rng):
     # no vendored I3D weights -> keys must say so (random-embedder fallback)
     assert "fvd" not in out_close
     assert out_close["fvd_uncalibrated"] < out_far["fvd_uncalibrated"]
+    # an explicitly-given npz path that is missing is a user error, not a
+    # request for the random fallback
+    with pytest.raises(FileNotFoundError):
+        fvd_from_videos(real, fake_close, i3d_npz="/no/such/file.npz", resize=None)
 
 
 def test_i3d_shapes():

@@ -262,6 +262,12 @@ def test_continuous_transformer(rng):
     assert np.isfinite(float(loss))
     out = tr.generate(params, code[:, :8], total_len=16)
     assert out.shape == (2, 16, 8)
+    # total_len <= context: the reference loop runs 0 steps and returns the
+    # context unchanged (`transformer_model.py:344-348`)
+    for tl in (8, 5):
+        np.testing.assert_array_equal(
+            np.asarray(tr.generate(params, code[:, :8], total_len=tl)),
+            np.asarray(code[:, :8]))
 
 
 def _naive_continuous_rollout(tr, params, code, total_len, normalize_pred=False):
