@@ -42,6 +42,10 @@ def _add_common(p):
                    help="mesh size (default: all visible devices)")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="tensor-parallel degree of the mesh 'model' axis")
+    p.add_argument("--seq-parallel", action="store_true",
+                   help="transformer training only: also shard the token "
+                        "axis of block activations over the 'model' axis "
+                        "(Megatron-SP analog, parallel/sp.py)")
 
 
 def _config(args):
@@ -149,6 +153,8 @@ def main(argv=None):
         from ccvs_tpu.train.transformer_trainer import TransformerTrainer
 
         cfg = _config(args)
+        if getattr(args, "seq_parallel", False):
+            cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, seq_parallel=True))
         ae_params = _load_ae_params(args, cfg)
         TransformerTrainer(cfg, ae_params, mesh=_mesh(args)).run(resume=args.resume)
 

@@ -285,6 +285,12 @@ class TransformerConfig:
     # vs recompute trade; lets full-length training fit a 16 GB chip)
     remat: bool = False
 
+    # sequence-parallel training forward: shard the token axis of block
+    # activations over the mesh 'model' axis (GSPMD Megatron-SP analog,
+    # parallel/sp.py). Scaling headroom beyond the reference (DP-only,
+    # SURVEY.md 2.7); requires tracing the step inside `with mesh:`.
+    seq_parallel: bool = False
+
     dtype: str = "bfloat16"
 
     @property

@@ -184,11 +184,22 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, cache=None, index=None, deterministic=True):
         cfg = self.cfg
+        # Sequence-parallel training (parallel/sp.py): annotate the residual
+        # stream so the token axis stays sharded across the mesh 'model' axis
+        # through LN/MLP/residual; GSPMD all-gathers K/V inside attention.
+        # Cached decode (t == 1) is never sequence-sharded.
+        sp = cfg.seq_parallel and cache is None and x.shape[1] > 1
+        if sp:
+            from ccvs_tpu.parallel.sp import seq_shard
+
+            x = seq_shard(x)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x)
         attn, new_cache = CausalSelfAttention(cfg, dtype=self.dtype, name="attn")(
             h, cache=cache, index=index, deterministic=deterministic
         )
         x = x + attn
+        if sp:
+            x = seq_shard(x)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(4 * cfg.n_embd, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(h)
         if cfg.resid_noise and not deterministic:
@@ -199,7 +210,10 @@ class Block(nn.Module):
         h = nn.Dense(cfg.n_embd, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(h)
         if cfg.resid_pdrop > 0 and not deterministic:
             h = nn.Dropout(cfg.resid_pdrop)(h, deterministic=False)
-        return x + h, new_cache
+        out = x + h
+        if sp:
+            out = seq_shard(out)
+        return out, new_cache
 
 
 class GPTCore(nn.Module):

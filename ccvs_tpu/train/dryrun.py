@@ -122,9 +122,26 @@ def run_tiny_multichip_step(mesh: Mesh) -> None:
         nll_tp = float(tm_tp["nll"])
         assert np.isfinite(nll_tp)
 
+        # dp x sp: sequence-parallel activation sharding over the same 2-way
+        # 'model' axis (parallel/sp.py) — params replicated, token axis of
+        # every block activation sharded; must reproduce the dp/tp nll.
+        import dataclasses
+
+        gpt_cfg_sp = dataclasses.replace(gpt_cfg, seq_parallel=True)
+        tr_sp = TokenTransformer(gpt_cfg_sp, dtype=jnp.float32)
+        init_sp, sp_step = make_transformer_step(tr_sp, gpt_cfg_sp, n_iter=10)
+        sstate = init_sp(params)
+        sstate = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl_tp), sstate)
+        with mesh_tp:
+            sstate, tm_sp = sp_step(sstate, {"code": code_tp})
+        jax.block_until_ready(sstate)
+        nll_sp = float(tm_sp["nll"])
+        assert np.isfinite(nll_sp) and abs(nll_sp - nll_tp) < 1e-3
+
     print(
         f"dryrun_multichip ok: mesh={dict(mesh.shape)} "
         f"g={float(gm['g_loss']):.3f} d={float(dm['d_loss']):.3f} "
         f"gv={float(gmv['g_loss']):.3f} nll={float(tm['nll']):.3f}"
-        + (f" nll_dpxtp={nll_tp:.3f} (tp=2)" if nll_tp is not None else "")
+        + (f" nll_dpxtp={nll_tp:.3f} nll_dpxsp={nll_sp:.3f} (tp=sp=2)"
+           if nll_tp is not None else "")
     )

@@ -131,7 +131,13 @@ class TransformerTrainer:
             batch = to_device(next(it_data), self.mesh)
             tokens = self.encode_batch(batch)
             tokens = to_device(tokens, self.mesh)
-            tstate, metrics = self.step(tstate, tokens)
+            if cfg.gpt.seq_parallel:
+                # bare-PartitionSpec constraints (parallel/sp.py) resolve
+                # against the physical mesh context at trace time
+                with self.mesh:
+                    tstate, metrics = self.step(tstate, tokens)
+            else:
+                tstate, metrics = self.step(tstate, tokens)
             logger.log_scalars(metrics, it, prefix="transformer/")
             if cfg.log_freq and it % cfg.log_freq == 0:
                 el = time.time() - t0
