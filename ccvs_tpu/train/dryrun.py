@@ -138,10 +138,32 @@ def run_tiny_multichip_step(mesh: Mesh) -> None:
         nll_sp = float(tm_sp["nll"])
         assert np.isfinite(nll_sp) and abs(nll_sp - nll_tp) < 1e-3
 
+        # dp x pp: GPipe pipeline of the block stack over the same 'model'
+        # axis (parallel/pp.py) — layers split across stages, microbatch
+        # activations ppermute stage-to-stage; must reproduce core numerics
+        # (forward and grad; grad checked in tests/test_parallel.py).
+        from ccvs_tpu.nn.gpt import GPTCore
+        from ccvs_tpu.parallel.pp import pipeline_core, shard_stage_params
+
+        core = GPTCore(gpt_cfg, dtype=jnp.float32)
+        emb_pp = jax.random.normal(
+            key, (2 * mesh_tp.shape["data"], 8, gpt_cfg.n_embd), jnp.float32)
+        cparams = core.init(key, emb_pp)["params"]
+        ref_out, _ = jax.jit(lambda p, e: core.apply({"params": p}, e))(
+            cparams, emb_pp)
+        cp = {
+            "blocks": {"block": shard_stage_params(mesh_tp, cparams["blocks"]["block"])},
+            "ln_f": jax.device_put(cparams["ln_f"], repl_tp),
+        }
+        emb_sh = jax.device_put(emb_pp, NamedSharding(mesh_tp, P("data")))
+        pp_out = jax.jit(lambda c, e: pipeline_core(gpt_cfg, c, e, mesh_tp, 2))(
+            cp, emb_sh)
+        assert float(jnp.abs(pp_out - ref_out).max()) < 1e-4
+
     print(
         f"dryrun_multichip ok: mesh={dict(mesh.shape)} "
         f"g={float(gm['g_loss']):.3f} d={float(dm['d_loss']):.3f} "
         f"gv={float(gmv['g_loss']):.3f} nll={float(tm['nll']):.3f}"
-        + (f" nll_dpxtp={nll_tp:.3f} nll_dpxsp={nll_sp:.3f} (tp=sp=2)"
+        + (f" nll_dpxtp={nll_tp:.3f} nll_dpxsp={nll_sp:.3f} pp2=ok (tp=sp=pp=2)"
            if nll_tp is not None else "")
     )

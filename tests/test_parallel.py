@@ -147,6 +147,43 @@ def test_transformer_sp2_matches_dp8():
     np.testing.assert_allclose(l_dp, l_plain, rtol=1e-6)
 
 
+def test_pipeline_parallel_core_matches_sequential():
+    """GPipe pipeline of the GPT block stack (`parallel/pp.py`, mesh 2x4 =
+    dp2 x pp4): forward and parameter gradients must equal the plain
+    `GPTCore.apply` within f32 rounding. The backward pipeline comes from
+    autodiff (the transpose of ppermute is the reverse permute)."""
+    import dataclasses as dc
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ccvs_tpu.nn.gpt import GPTCore
+    from ccvs_tpu.parallel.pp import pipeline_core, shard_stage_params
+
+    cfg = dc.replace(GPT_CFG, n_layer=4)
+    core = GPTCore(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    emb = jax.random.normal(key, (8, 20, cfg.n_embd), jnp.float32)
+    params = core.init(key, emb)["params"]
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
+    cp = {
+        "blocks": {"block": shard_stage_params(mesh, params["blocks"]["block"])},
+        "ln_f": jax.device_put(params["ln_f"], NamedSharding(mesh, P())),
+    }
+    emb_sh = jax.device_put(emb, NamedSharding(mesh, P("data")))
+
+    ref, _ = jax.jit(lambda p, e: core.apply({"params": p}, e))(params, emb)
+    out = jax.jit(lambda c, e: pipeline_core(cfg, c, e, mesh, n_micro=2))(cp, emb_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g_ref = jax.jit(jax.grad(
+        lambda p, e: (core.apply({"params": p}, e)[0] ** 2).sum()))(params, emb)
+    g_pp = jax.jit(jax.grad(
+        lambda c, e: (pipeline_core(cfg, c, e, mesh, n_micro=2) ** 2).sum()))(cp, emb_sh)
+    # atol covers near-zero grads (full-grad scale here is ~6e2, so 5e-4
+    # is still ~1e-6 relative — f32 accumulation-order noise)
+    np.testing.assert_allclose(_leaves(g_pp), _leaves(g_ref), rtol=1e-4, atol=5e-4)
+
+
 def test_transformer_trainer_dp4_sp2(tmp_path):
     """Sequence parallelism through the real trainer (`seq_parallel=True`,
     mesh 4x2): the trainer enters the mesh context so the bare-PartitionSpec
