@@ -46,6 +46,14 @@ def _add_common(p):
                    help="transformer training only: also shard the token "
                         "axis of block activations over the 'model' axis "
                         "(Megatron-SP analog, parallel/sp.py)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="transformer training only: shard params + adam "
+                        "moments over the 'data' axis (ZeRO-3 via GSPMD, "
+                        "parallel/fsdp.py)")
+    p.add_argument("--async-ckpt", action="store_true",
+                   help="checkpoint asynchronously: on-device snapshot + "
+                        "background disk write (needs HBM headroom for the "
+                        "transient state copy)")
 
 
 def _config(args):
@@ -65,6 +73,8 @@ def _config(args):
         over["name"] = args.name
     if args.n_iter:
         over["n_iter"] = args.n_iter
+    if getattr(args, "async_ckpt", False):
+        over["async_ckpt"] = True
     if over:
         cfg = cfg.replace(**over)
     if args.dataroot:
@@ -155,6 +165,8 @@ def main(argv=None):
         cfg = _config(args)
         if getattr(args, "seq_parallel", False):
             cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, seq_parallel=True))
+        if getattr(args, "fsdp", False):
+            cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, fsdp=True))
         ae_params = _load_ae_params(args, cfg)
         TransformerTrainer(cfg, ae_params, mesh=_mesh(args)).run(resume=args.resume)
 
@@ -163,13 +175,13 @@ def main(argv=None):
 
         cfg = _config(args)
         ae_params = _load_ae_params(args, cfg)
-        StateEstimatorTrainer(cfg, ae_params, mesh=_mesh(args)).run()
+        StateEstimatorTrainer(cfg, ae_params, mesh=_mesh(args)).run(resume=args.resume)
 
     elif args.task == "train-stft":
         from ccvs_tpu.train.state_trainer import StftAutoencoderTrainer
 
         cfg = _config(args)
-        StftAutoencoderTrainer(cfg, mesh=_mesh(args), vgg_npz=args.vgg_npz).run()
+        StftAutoencoderTrainer(cfg, mesh=_mesh(args), vgg_npz=args.vgg_npz).run(resume=args.resume)
 
     elif args.task == "generate":
         _generate(args)

@@ -291,6 +291,12 @@ class TransformerConfig:
     # SURVEY.md 2.7); requires tracing the step inside `with mesh:`.
     seq_parallel: bool = False
 
+    # FSDP/ZeRO-3: shard params + adam moments over the mesh 'data' axis
+    # (parallel/fsdp.py); GSPMD inserts the all-gather/reduce-scatter.
+    # Cuts the static train-state footprint ~n_data-fold (the reference is
+    # DDP with full replicas, `tools/engine.py:71-74`).
+    fsdp: bool = False
+
     dtype: str = "bfloat16"
 
     @property
@@ -355,6 +361,11 @@ class Config:
     save_freq: int = -1
     log_freq: Optional[int] = 2000
     n_iter_eval: Optional[int] = None
+    # async checkpointing: snapshot state on-device and stream to disk on
+    # background threads (utils/checkpoint.py). Opt-in: the snapshot briefly
+    # doubles the train-state HBM footprint, which memory-tight configs
+    # (256^2 BAIR on one 16 GB chip) may not have.
+    async_ckpt: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -5,6 +5,7 @@ with mesh + named shardings; gradient all-reduce, loss pmean, and the ADA
 controller psum all become implicit XLA collectives over ICI.
 """
 
+from ccvs_tpu.parallel.fsdp import fsdp_param_specs, shard_fsdp
 from ccvs_tpu.parallel.mesh import (
     data_sharding,
     make_mesh,
@@ -21,4 +22,6 @@ __all__ = [
     "replicate_tree",
     "shard_batch",
     "put_batch",
+    "fsdp_param_specs",
+    "shard_fsdp",
 ]

@@ -144,7 +144,7 @@ class FrameAutoencoderTrainer:
         n_iter = n_iter or cfg.n_iter
         ckpt_path = os.path.join(cfg.save_path, "checkpoints", cfg.name)
         log_path = os.path.join(cfg.save_path, "logs", cfg.name)
-        ckpt = CheckpointManager(ckpt_path)
+        ckpt = CheckpointManager(ckpt_path, async_save=cfg.async_ckpt)
         os.makedirs(os.path.join(cfg.save_path, "checkpoints", cfg.name), exist_ok=True)
         with open(os.path.join(cfg.save_path, "checkpoints", cfg.name, "config.json"), "w") as f:
             f.write(cfg.to_json())
@@ -179,80 +179,93 @@ class FrameAutoencoderTrainer:
             rec_eval = self.make_rec_eval()
 
         from ccvs_tpu.utils import profiling
+        from ccvs_tpu.utils.preemption import PreemptionGuard
 
         t0 = time.time()
-        for it in range(start, n_iter):
-            # short profiler capture window (SURVEY section 5.1 parity+)
-            if profile_dir and it == start + 10:
-                jax.profiler.start_trace(profile_dir)
-            if profile_dir and it == start + 13:
-                profiling.device_sync(state.gen)
-                jax.profiler.stop_trace()
-            rng = jax.random.fold_in(key, it)
-            sync = (lambda m: np.asarray(m["g_loss" if "g_loss" in m else next(iter(m))])) \
-                if serialize_steps else (lambda m: None)
-            batch = to_device(next(img_iter), self.mesh)
-            state, gm, fake = self.g_step(state, batch, rng, mode="img")
-            sync(gm)
-            dm = {}
-            if self.di is not None or self.df is not None:
-                state, dm = self.d_step(state, batch, fake, rng, mode="img")
-                sync(dm)
-            if self.di is not None and acfg.d_reg_every and it % acfg.d_reg_every == 0:
-                state, rm = self.r1_step(state, batch, mode="img", rng=rng)
-                sync(rm)
-                gm.update(rm)
+        preempted = False
+        with PreemptionGuard() as guard:
+            for it in range(start, n_iter):
+                # short profiler capture window (SURVEY section 5.1 parity+)
+                if profile_dir and it == start + 10:
+                    jax.profiler.start_trace(profile_dir)
+                if profile_dir and it == start + 13:
+                    profiling.device_sync(state.gen)
+                    jax.profiler.stop_trace()
+                rng = jax.random.fold_in(key, it)
+                sync = (lambda m: np.asarray(m["g_loss" if "g_loss" in m else next(iter(m))])) \
+                    if serialize_steps else (lambda m: None)
+                batch = to_device(next(img_iter), self.mesh)
+                state, gm, fake = self.g_step(state, batch, rng, mode="img")
+                sync(gm)
+                dm = {}
+                if self.di is not None or self.df is not None:
+                    state, dm = self.d_step(state, batch, fake, rng, mode="img")
+                    sync(dm)
+                if self.di is not None and acfg.d_reg_every and it % acfg.d_reg_every == 0:
+                    state, rm = self.r1_step(state, batch, mode="img", rng=rng)
+                    sync(rm)
+                    gm.update(rm)
 
-            if vid_iter is not None and it % acfg.vid_step_every == 0:
-                vbatch = to_device(next(vid_iter), self.mesh)
-                state, gmv, fakev = self.g_step(state, vbatch, rng, mode="vid")
-                sync(gmv)
-                if self.dv is not None or self.df is not None:
-                    state, dmv = self.d_step(state, vbatch, fakev, rng, mode="vid")
-                    sync(dmv)
-                    dm.update(dmv)
-                if self.dv is not None and acfg.d_reg_every and it % acfg.d_reg_every == 0:
-                    state, rmv = self.r1_step(state, vbatch, mode="vid")
-                    sync(rmv)
-                    gmv.update(rmv)
-                gm.update(gmv)
+                if vid_iter is not None and it % acfg.vid_step_every == 0:
+                    vbatch = to_device(next(vid_iter), self.mesh)
+                    state, gmv, fakev = self.g_step(state, vbatch, rng, mode="vid")
+                    sync(gmv)
+                    if self.dv is not None or self.df is not None:
+                        state, dmv = self.d_step(state, vbatch, fakev, rng, mode="vid")
+                        sync(dmv)
+                        dm.update(dmv)
+                    if self.dv is not None and acfg.d_reg_every and it % acfg.d_reg_every == 0:
+                        state, rmv = self.r1_step(state, vbatch, mode="vid")
+                        sync(rmv)
+                        gmv.update(rmv)
+                    gm.update(gmv)
 
-            state = state.replace(step=jnp.asarray(it + 1, jnp.int32))
-            logger.log_scalars({**gm, **dm}, it, prefix="qvid_generator/")
-            if cfg.log_freq and it % cfg.log_freq == 0:
-                logger.log_img("qvid_generator/fake_img", np.asarray(fake["img"][:16]), 4, it,
-                               normalize=True)
-                logger.log_img("qvid_generator/real_img", np.asarray(batch["img"][:16]), 4, it,
-                               normalize=True)
-                el = time.time() - t0
-                print(f"iter {it}: g={float(gm['g_loss']):.4f} "
-                      f"d={float(dm.get('d_loss', 0.0)):.4f} "
-                      f"({el / max(1, it - start + 1):.2f}s/it)")
-            if rec_eval is not None and it % eval_every == 0:
-                rec, psnr = rec_eval(state.ema if acfg.use_ema else state.gen,
-                                     eval_batch)
-                scalars = {"rec_psnr": float(psnr), "ada_p": float(state.ada_p)}
-                rec_raw = None
-                if acfg.use_ema:
-                    # the 0.999-decay EMA (reference `accumulate`,
-                    # `quantized_video_model.py:951`) lags hundreds of iters
-                    # behind; log the raw generator too so short runs show
-                    # the true convergence trend
-                    rec_raw, psnr_raw = rec_eval(state.gen, eval_batch)
-                    scalars["rec_psnr_raw"] = float(psnr_raw)
-                logger.log_scalars(scalars, it, prefix="qvid_eval/")
-                if snapshot_every and it % snapshot_every == 0:
-                    _save_snapshot(os.path.join(log_path, "snapshots"), it,
-                                   np.asarray(eval_batch[:8]), np.asarray(rec[:8]))
-                    if rec_raw is not None:
+                state = state.replace(step=jnp.asarray(it + 1, jnp.int32))
+                logger.log_scalars({**gm, **dm}, it, prefix="qvid_generator/")
+                if cfg.log_freq and it % cfg.log_freq == 0:
+                    logger.log_img("qvid_generator/fake_img", np.asarray(fake["img"][:16]), 4, it,
+                                   normalize=True)
+                    logger.log_img("qvid_generator/real_img", np.asarray(batch["img"][:16]), 4, it,
+                                   normalize=True)
+                    el = time.time() - t0
+                    print(f"iter {it}: g={float(gm['g_loss']):.4f} "
+                          f"d={float(dm.get('d_loss', 0.0)):.4f} "
+                          f"({el / max(1, it - start + 1):.2f}s/it)")
+                if rec_eval is not None and it % eval_every == 0:
+                    rec, psnr = rec_eval(state.ema if acfg.use_ema else state.gen,
+                                         eval_batch)
+                    scalars = {"rec_psnr": float(psnr), "ada_p": float(state.ada_p)}
+                    rec_raw = None
+                    if acfg.use_ema:
+                        # the 0.999-decay EMA (reference `accumulate`,
+                        # `quantized_video_model.py:951`) lags hundreds of iters
+                        # behind; log the raw generator too so short runs show
+                        # the true convergence trend
+                        rec_raw, psnr_raw = rec_eval(state.gen, eval_batch)
+                        scalars["rec_psnr_raw"] = float(psnr_raw)
+                    logger.log_scalars(scalars, it, prefix="qvid_eval/")
+                    if snapshot_every and it % snapshot_every == 0:
                         _save_snapshot(os.path.join(log_path, "snapshots"), it,
-                                       np.asarray(eval_batch[:8]),
-                                       np.asarray(rec_raw[:8]), tag="rec_raw")
-            if it % cfg.save_latest_freq == 0 and it > start:
-                ckpt.save("qvid", it, state, latest=True)
-            if cfg.save_freq > 0 and it % cfg.save_freq == 0 and it > start:
-                ckpt.save("qvid", it, state)
-        ckpt.save("qvid", n_iter, state, latest=True)
+                                       np.asarray(eval_batch[:8]), np.asarray(rec[:8]))
+                        if rec_raw is not None:
+                            _save_snapshot(os.path.join(log_path, "snapshots"), it,
+                                           np.asarray(eval_batch[:8]),
+                                           np.asarray(rec_raw[:8]), tag="rec_raw")
+                if it % cfg.save_latest_freq == 0 and it > start:
+                    ckpt.save("qvid", it, state, latest=True)
+                if cfg.save_freq > 0 and it % cfg.save_freq == 0 and it > start:
+                    ckpt.save("qvid", it, state)
+                if guard.triggered:
+                    # step boundary: state.step is already it+1, so --resume
+                    # continues exactly where the preempted run stopped
+                    ckpt.save("qvid", it + 1, state, latest=True)
+                    print(f"[preemption] latest checkpoint written at iter "
+                          f"{it + 1}; exiting cleanly", flush=True)
+                    preempted = True
+                    break
+        if not preempted:
+            ckpt.save("qvid", n_iter, state, latest=True)
+        ckpt.wait()
         logger.close()
         return state
 

@@ -98,6 +98,27 @@ def run_tiny_multichip_step(mesh: Mesh) -> None:
     jax.block_until_ready(tstate)
     assert np.isfinite(float(tm["nll"]))
 
+    # dp x fsdp: ZeRO-3 param+moment sharding over 'data' (parallel/fsdp.py);
+    # same step program, GSPMD all-gathers params / reduce-scatters grads.
+    from ccvs_tpu.parallel.fsdp import shard_fsdp
+
+    fstate = init_t(params)
+    fstate = fstate.replace(
+        step=jax.device_put(fstate.step, repl),
+        params=shard_fsdp(mesh, fstate.params, min_size=1024),
+        opt=shard_fsdp(mesh, fstate.opt, min_size=1024),
+    )
+    _, f_step = make_transformer_step(
+        tr, gpt_cfg, n_iter=10,
+        state_shardings=jax.tree_util.tree_map(lambda x: x.sharding, fstate))
+    fstate, tm_f = f_step(fstate, {"code": code})
+    jax.block_until_ready(fstate)
+    nll_fsdp = float(tm_f["nll"])
+    assert np.isfinite(nll_fsdp) and abs(nll_fsdp - float(tm["nll"])) < 1e-3
+    assert any(l.ndim and l.addressable_shards[0].data.shape != l.shape
+               for l in jax.tree_util.tree_leaves(fstate.params)), \
+        "fsdp dryrun: params did not stay sharded"
+
     # dp x tp: re-run the transformer step with Megatron-style head/MLP
     # sharding over a 2-way 'model' axis when the device count allows
     nll_tp = None
@@ -163,7 +184,8 @@ def run_tiny_multichip_step(mesh: Mesh) -> None:
     print(
         f"dryrun_multichip ok: mesh={dict(mesh.shape)} "
         f"g={float(gm['g_loss']):.3f} d={float(dm['d_loss']):.3f} "
-        f"gv={float(gmv['g_loss']):.3f} nll={float(tm['nll']):.3f}"
+        f"gv={float(gmv['g_loss']):.3f} nll={float(tm['nll']):.3f} "
+        f"nll_fsdp={nll_fsdp:.3f}"
         + (f" nll_dpxtp={nll_tp:.3f} nll_dpxsp={nll_sp:.3f} pp2=ok (tp=sp=pp=2)"
            if nll_tp is not None else "")
     )

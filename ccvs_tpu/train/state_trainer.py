@@ -23,6 +23,7 @@ from ccvs_tpu.train.states import make_adam
 from ccvs_tpu.train.steps import make_simple_step
 from ccvs_tpu.utils.checkpoint import CheckpointManager
 from ccvs_tpu.utils.logging import Logger
+from ccvs_tpu.utils.preemption import PreemptionGuard
 
 
 class StateEstimatorTrainer:
@@ -60,14 +61,19 @@ class StateEstimatorTrainer:
             errs.append(float(jnp.mean((pred - b["state"]) ** 2)))
         return float(np.mean(errs)) if errs else float("inf")
 
-    def run(self, n_iter=None):
+    def run(self, n_iter=None, resume=False):
         cfg = self.cfg
         n_iter = n_iter or cfg.n_iter
-        ckpt = CheckpointManager(os.path.join(cfg.save_path, "checkpoints", cfg.name))
+        ckpt = CheckpointManager(os.path.join(cfg.save_path, "checkpoints", cfg.name),
+                         async_save=cfg.async_ckpt)
         logger = Logger(os.path.join(cfg.save_path, "logs", cfg.name))
         key = jax.random.PRNGKey(cfg.seed)
         params = self.model.init(key)
         state = self.init_state(params)
+        start = 0
+        if resume:
+            state = ckpt.load("state", "latest", target=state)
+            start = int(state.step)
         from ccvs_tpu.parallel.mesh import replicate_tree
 
         state = replicate_tree(self.mesh, state)
@@ -81,18 +87,26 @@ class StateEstimatorTrainer:
                                  num_workers=cfg.data.num_workers)
         it_data = iter(cycle_loader(loader))
         best = float("inf")
-        for it in range(n_iter):
-            state, m = self.step(state, to_device(next(it_data), self.mesh))
-            logger.log_scalars(m, it, prefix="state/")
-            if cfg.n_iter_eval and it % cfg.n_iter_eval == 0 and it > 0:
-                err = self.evaluate(state.params, vloader)
-                logger.log_scalar("state/eval_mse", err, it)
-                if err < best:
-                    best = err
-                    ckpt.save("state", it, state, best=True)
-            if it % cfg.save_latest_freq == 0 and it > 0:
-                ckpt.save("state", it, state, latest=True)
-        ckpt.save("state", n_iter, state, latest=True)
+        preempted = False
+        with PreemptionGuard() as guard:
+            for it in range(start, n_iter):
+                state, m = self.step(state, to_device(next(it_data), self.mesh))
+                logger.log_scalars(m, it, prefix="state/")
+                if cfg.n_iter_eval and it % cfg.n_iter_eval == 0 and it > 0:
+                    err = self.evaluate(state.params, vloader)
+                    logger.log_scalar("state/eval_mse", err, it)
+                    if err < best:
+                        best = err
+                        ckpt.save("state", it, state, best=True)
+                if it % cfg.save_latest_freq == 0 and it > 0:
+                    ckpt.save("state", it, state, latest=True)
+                if guard.triggered:
+                    ckpt.save("state", it + 1, state, latest=True)
+                    preempted = True
+                    break
+        if not preempted:
+            ckpt.save("state", n_iter, state, latest=True)
+        ckpt.wait()
         logger.close()
         return state
 
@@ -124,13 +138,18 @@ class StftAutoencoderTrainer:
         self.init_state, self.step = make_simple_step(loss_fn, opt)
         self.loss_fn = loss_fn
 
-    def run(self, n_iter=None):
+    def run(self, n_iter=None, resume=False):
         cfg = self.cfg
         n_iter = n_iter or cfg.n_iter
-        ckpt = CheckpointManager(os.path.join(cfg.save_path, "checkpoints", cfg.name))
+        ckpt = CheckpointManager(os.path.join(cfg.save_path, "checkpoints", cfg.name),
+                         async_save=cfg.async_ckpt)
         logger = Logger(os.path.join(cfg.save_path, "logs", cfg.name))
         params = self.model.init(jax.random.PRNGKey(cfg.seed))
         state = self.init_state(params)
+        start = 0
+        if resume:
+            state = ckpt.load("stft", "latest", target=state)
+            start = int(state.step)
         from ccvs_tpu.parallel.mesh import replicate_tree
 
         state = replicate_tree(self.mesh, state)
@@ -139,16 +158,24 @@ class StftAutoencoderTrainer:
                                 num_workers=cfg.data.num_workers)
         it_data = iter(cycle_loader(loader))
         best = float("inf")
-        for it in range(n_iter):
-            state, m = self.step(state, to_device(next(it_data), self.mesh))
-            logger.log_scalars(m, it, prefix="stft/")
-            if cfg.n_iter_eval and it % cfg.n_iter_eval == 0 and it > 0:
-                mse = float(m["stft_mse"])
-                if mse < best:
-                    best = mse
-                    ckpt.save("stft", it, state, best=True)
-            if it % cfg.save_latest_freq == 0 and it > 0:
-                ckpt.save("stft", it, state, latest=True)
-        ckpt.save("stft", n_iter, state, latest=True)
+        preempted = False
+        with PreemptionGuard() as guard:
+            for it in range(start, n_iter):
+                state, m = self.step(state, to_device(next(it_data), self.mesh))
+                logger.log_scalars(m, it, prefix="stft/")
+                if cfg.n_iter_eval and it % cfg.n_iter_eval == 0 and it > 0:
+                    mse = float(m["stft_mse"])
+                    if mse < best:
+                        best = mse
+                        ckpt.save("stft", it, state, best=True)
+                if it % cfg.save_latest_freq == 0 and it > 0:
+                    ckpt.save("stft", it, state, latest=True)
+                if guard.triggered:
+                    ckpt.save("stft", it + 1, state, latest=True)
+                    preempted = True
+                    break
+        if not preempted:
+            ckpt.save("stft", n_iter, state, latest=True)
+        ckpt.wait()
         logger.close()
         return state

@@ -132,15 +132,21 @@ def make_ae_steps(losses: AELosses, vgg_params, aug_fn=None):
     return init_state, g_step, d_step, r1_step
 
 
-def make_transformer_step(transformer, cfg: TransformerConfig, n_iter: int):
+def make_transformer_step(transformer, cfg: TransformerConfig, n_iter: int,
+                          state_shardings=None):
     """(init_state, step) for the latent transformer
-    (`helpers/transformer_trainer.py:56-87`)."""
+    (`helpers/transformer_trainer.py:56-87`).
+
+    ``state_shardings``: optional sharding pytree for the train state
+    (FSDP, `parallel/fsdp.py`). Pinning the *output* shardings is what keeps
+    params/moments split across steps — with inputs-only, GSPMD's propagation
+    may legally replicate the updated state and defeat the memory saving.
+    """
     opt = make_transformer_optimizer(cfg, n_iter)
 
     def init_state(params):
         return SimpleTrainState(step=jnp.zeros((), jnp.int32), params=params, opt=opt.init(params))
 
-    @jax.jit
     def step(state, batch):
         def loss_fn(params):
             return transformer.loss(
@@ -157,6 +163,15 @@ def make_transformer_step(transformer, cfg: TransformerConfig, n_iter: int):
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params, opt=new_opt), metrics
 
+    if state_shardings is not None:
+        # metrics are scalars -> replicated (prefix-pytree sharding)
+        mesh = jax.tree_util.tree_leaves(state_shardings)[0].mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        step = jax.jit(step, out_shardings=(state_shardings,
+                                            NamedSharding(mesh, P())))
+    else:
+        step = jax.jit(step)
     return init_state, step
 
 

@@ -94,7 +94,8 @@ class TransformerTrainer:
     def run(self, n_iter=None, resume=False):
         cfg = self.cfg
         n_iter = n_iter or cfg.n_iter
-        ckpt = CheckpointManager(os.path.join(cfg.save_path, "checkpoints", cfg.name))
+        ckpt = CheckpointManager(os.path.join(cfg.save_path, "checkpoints", cfg.name),
+                         async_save=cfg.async_ckpt)
         os.makedirs(os.path.join(cfg.save_path, "checkpoints", cfg.name), exist_ok=True)
         with open(os.path.join(cfg.save_path, "checkpoints", cfg.name, "config.json"), "w") as f:
             f.write(cfg.to_json())
@@ -112,13 +113,31 @@ class TransformerTrainer:
         from ccvs_tpu.parallel.tp import shard_gpt_params
 
         tstate = replicate_tree(self.mesh, tstate)
-        if self.mesh.shape.get("model", 1) > 1:
+        tp_on = self.mesh.shape.get("model", 1) > 1
+        if tp_on:
             # Megatron head/MLP sharding; the adam moments nest the same param
             # dict, so the same path-keyed specs shard them identically.
             tstate = tstate.replace(
                 params=shard_gpt_params(self.mesh, tstate.params),
                 opt=shard_gpt_params(self.mesh, tstate.opt),
             )
+        if cfg.gpt.fsdp:
+            # ZeRO-3 via GSPMD: split params + moments over 'data' too
+            # (composes with the tp specs above — parallel/fsdp.py), and
+            # re-jit the step with pinned output shardings so the updated
+            # state STAYS split (propagation alone may replicate it).
+            from ccvs_tpu.parallel.fsdp import shard_fsdp
+            from ccvs_tpu.parallel.tp import gpt_param_specs
+
+            tstate = tstate.replace(
+                params=shard_fsdp(self.mesh, tstate.params,
+                                  base_specs=gpt_param_specs(tstate.params) if tp_on else None),
+                opt=shard_fsdp(self.mesh, tstate.opt,
+                               base_specs=gpt_param_specs(tstate.opt) if tp_on else None),
+            )
+            shardings = jax.tree_util.tree_map(lambda x: x.sharding, tstate)
+            _, self.step = make_transformer_step(
+                self.transformer, cfg.gpt, cfg.n_iter, state_shardings=shardings)
         self.ae_params = replicate_tree(self.mesh, self.ae_params)
 
         ds = create_dataset(cfg.data, phase="train", load_vid=True)
@@ -126,25 +145,37 @@ class TransformerTrainer:
                                 num_workers=cfg.data.num_workers, seed=cfg.seed)
         it_data = iter(cycle_loader(loader))
 
+        from ccvs_tpu.utils.preemption import PreemptionGuard
+
         t0 = time.time()
-        for it in range(start, n_iter):
-            batch = to_device(next(it_data), self.mesh)
-            tokens = self.encode_batch(batch)
-            tokens = to_device(tokens, self.mesh)
-            if cfg.gpt.seq_parallel:
-                # bare-PartitionSpec constraints (parallel/sp.py) resolve
-                # against the physical mesh context at trace time
-                with self.mesh:
+        preempted = False
+        with PreemptionGuard() as guard:
+            for it in range(start, n_iter):
+                batch = to_device(next(it_data), self.mesh)
+                tokens = self.encode_batch(batch)
+                tokens = to_device(tokens, self.mesh)
+                if cfg.gpt.seq_parallel:
+                    # bare-PartitionSpec constraints (parallel/sp.py) resolve
+                    # against the physical mesh context at trace time
+                    with self.mesh:
+                        tstate, metrics = self.step(tstate, tokens)
+                else:
                     tstate, metrics = self.step(tstate, tokens)
-            else:
-                tstate, metrics = self.step(tstate, tokens)
-            logger.log_scalars(metrics, it, prefix="transformer/")
-            if cfg.log_freq and it % cfg.log_freq == 0:
-                el = time.time() - t0
-                print(f"iter {it}: nll={float(metrics['nll']):.4f} "
-                      f"({el / max(1, it - start + 1):.2f}s/it)")
-            if it % cfg.save_latest_freq == 0 and it > start:
-                ckpt.save("transformer", it, tstate, latest=True)
-        ckpt.save("transformer", n_iter, tstate, latest=True)
+                logger.log_scalars(metrics, it, prefix="transformer/")
+                if cfg.log_freq and it % cfg.log_freq == 0:
+                    el = time.time() - t0
+                    print(f"iter {it}: nll={float(metrics['nll']):.4f} "
+                          f"({el / max(1, it - start + 1):.2f}s/it)")
+                if it % cfg.save_latest_freq == 0 and it > start:
+                    ckpt.save("transformer", it, tstate, latest=True)
+                if guard.triggered:
+                    ckpt.save("transformer", it + 1, tstate, latest=True)
+                    print(f"[preemption] latest checkpoint written at iter "
+                          f"{it + 1}; exiting cleanly", flush=True)
+                    preempted = True
+                    break
+        if not preempted:
+            ckpt.save("transformer", n_iter, tstate, latest=True)
+        ckpt.wait()
         logger.close()
         return tstate

@@ -20,10 +20,22 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, path: str):
+    """``async_save=True`` turns saves into the production TPU pattern:
+    snapshot the state on-device (cheap HBM copy, safe against the train
+    step's buffer donation), then stream it to disk on background threads
+    while training continues. ``wait()`` (or the next save/load) joins the
+    in-flight write; the rolling latest/best dirs are only swapped after
+    the previous write finished, so a crash never leaves a half "latest".
+    """
+
+    def __init__(self, path: str, async_save: bool = False):
         self.path = os.path.abspath(path)
         os.makedirs(self.path, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        self.async_save = async_save
+        if async_save:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        else:
+            self._ckptr = ocp.StandardCheckpointer()
 
     def _dir(self, label: str, step: int, kind: str = "") -> str:
         kind = f"{kind}_" if kind else ""
@@ -48,18 +60,39 @@ class CheckpointManager:
             kinds.append("latest")
         if best:
             kinds.append("best")
-        tree = jax.tree_util.tree_map(np.asarray, tree)
-        for kind in kinds:
+        if self.async_save:
+            # join any in-flight write before touching its directories
+            self._ckptr.wait_until_finished()
+            # device-side snapshot: the caller's arrays may be DONATED into
+            # the next jitted step while the background write still reads
+            import jax.numpy as jnp
+
+            tree = jax.tree_util.tree_map(
+                lambda x: jnp.copy(x) if isinstance(x, jax.Array) else np.asarray(x),
+                tree)
+        else:
+            tree = jax.tree_util.tree_map(np.asarray, tree)
+        for i, kind in enumerate(kinds):
             for old_step, old_dir in self._find(label, kind) if kind else []:
                 shutil.rmtree(old_dir, ignore_errors=True)
             d = self._dir(label, step, kind)
             shutil.rmtree(d, ignore_errors=True)
-            self._ckptr.save(d, tree)
-            self._ckptr.wait_until_finished()
+            if self.async_save:
+                self._ckptr.save(d, args=ocp.args.StandardSave(tree))
+            else:
+                self._ckptr.save(d, tree)
+            if not self.async_save or i < len(kinds) - 1:
+                # only the LAST kind's write may stay in flight
+                self._ckptr.wait_until_finished()
+
+    def wait(self):
+        """Join the in-flight async write (no-op for sync managers)."""
+        self._ckptr.wait_until_finished()
 
     def load(self, label: str, which="latest", target: Optional[Any] = None) -> Any:
         """Resolve like `load_network` (`models/__init__.py:63-97`):
         ``which`` is "latest", "best", or an int step."""
+        self._ckptr.wait_until_finished()
         if which in ("latest", "best"):
             found = self._find(label, which)
             if not found:
@@ -70,6 +103,8 @@ class CheckpointManager:
             if not os.path.isdir(d):
                 raise FileNotFoundError(d)
         if target is not None:
+            if self.async_save:
+                return self._ckptr.restore(d, args=ocp.args.StandardRestore(target))
             return self._ckptr.restore(d, target=target)
         return self._ckptr.restore(d)
 

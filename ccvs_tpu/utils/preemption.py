@@ -1,0 +1,94 @@
+"""Graceful-preemption handling for long training runs.
+
+Cloud TPU spot/preemptible VMs deliver SIGTERM shortly before the machine
+is reclaimed; production trainers must finish the in-flight step, write a
+``latest`` checkpoint, and exit cleanly so ``--resume`` continues from the
+same iteration. The reference has no analog (its DDP loops die mid-step,
+`helpers/frame_autoencoder_trainer.py:104-151`); this is part of the
+SURVEY section 5.3 failure-recovery surface together with rolling
+checkpoints + ``--resume``.
+
+Usage::
+
+    with PreemptionGuard() as guard:
+        for it in range(start, n_iter):
+            ...train step...
+            if guard.triggered:
+                ckpt.save(..., latest=True)
+                break
+
+The guard only *records* the signal (safe inside an XLA dispatch); the
+training loop decides when to act, so the checkpoint is always written at
+a step boundary with a fully-materialized state.
+"""
+
+import signal
+import threading
+
+
+class PreemptionGuard:
+    """Context manager that latches SIGTERM/SIGINT into a boolean flag.
+
+    Handlers are installed on ``__enter__`` and the previous handlers are
+    restored on ``__exit__``, so nesting trainers (e.g. the CLI pipeline
+    running AE then transformer training) behaves: the inner guard wins
+    while active. A second signal while latched re-raises the default
+    behaviour (propagates ``KeyboardInterrupt`` for SIGINT), so an
+    impatient ctrl-C ctrl-C still kills the process.
+
+    Only the main thread may install signal handlers (CPython rule); when
+    entered from a worker thread the guard degrades to an inert flag that
+    can still be set programmatically via :meth:`trigger` (used by tests
+    and by external schedulers that poll a preemption notice instead of
+    signalling).
+    """
+
+    SIGNALS = (signal.SIGTERM, signal.SIGINT)
+
+    def __init__(self, on_trigger=None):
+        self._triggered = threading.Event()
+        self._prev = {}
+        self._installed = False
+        self._on_trigger = on_trigger
+
+    # -- flag API -----------------------------------------------------
+    @property
+    def triggered(self) -> bool:
+        return self._triggered.is_set()
+
+    def trigger(self, signum=None):
+        """Latch the flag (idempotent). Called by the signal handler; may
+        also be called directly to request a save-and-exit."""
+        first = not self._triggered.is_set()
+        self._triggered.set()
+        if first:
+            name = signal.Signals(signum).name if signum is not None else "request"
+            print(f"[preemption] caught {name}; will checkpoint and exit "
+                  "at the next step boundary", flush=True)
+            if self._on_trigger is not None:
+                self._on_trigger()
+
+    # -- signal plumbing ----------------------------------------------
+    def _handler(self, signum, frame):
+        if self._triggered.is_set():
+            # second signal: restore + re-deliver default behaviour
+            prev = self._prev.get(signum, signal.SIG_DFL)
+            signal.signal(signum, prev if callable(prev) or prev in
+                          (signal.SIG_IGN, signal.SIG_DFL) else signal.SIG_DFL)
+            raise KeyboardInterrupt
+        self.trigger(signum)
+
+    def __enter__(self):
+        if threading.current_thread() is threading.main_thread():
+            for s in self.SIGNALS:
+                self._prev[s] = signal.getsignal(s)
+                signal.signal(s, self._handler)
+            self._installed = True
+        return self
+
+    def __exit__(self, *exc):
+        if self._installed:
+            for s, prev in self._prev.items():
+                signal.signal(s, prev)
+            self._installed = False
+        return False

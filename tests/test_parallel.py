@@ -101,6 +101,42 @@ def test_transformer_trainer_dp8_matches_dp1(tmp_path):
     )
 
 
+def test_transformer_trainer_fsdp_matches_dp1(tmp_path):
+    """ZeRO-3 param+moment sharding (`parallel/fsdp.py`): the fsdp=True dp8
+    run must match the unsharded dp1 run numerically, hold genuinely split
+    param shards (1/8th per device), and KEEP them split across steps (the
+    elementwise adam update must not trigger a GSPMD replication)."""
+    import dataclasses as dc
+
+    from ccvs_tpu.models import FrameAutoencoder
+    from ccvs_tpu.train.transformer_trainer import TransformerTrainer
+
+    base = _cfg(str(tmp_path))
+    cfg = base.replace(data=dataclasses.replace(base.data, vid_len=2, load_vid_len=None))
+    ae = FrameAutoencoder(cfg.ae, dtype=jnp.float32)
+    ae_params = ae.init(jax.random.PRNGKey(0))
+
+    outs = []
+    for n, fsdp in ((1, False), (8, True)):
+        random.seed(42)
+        cfg_n = cfg.replace(save_path=str(tmp_path / f"fsdp{n}"),
+                            gpt=dc.replace(cfg.gpt, fsdp=fsdp))
+        tr = TransformerTrainer(cfg_n, ae_params, dtype=jnp.float32, mesh=make_mesh(n))
+        outs.append(tr.run(n_iter=2))
+    np.testing.assert_allclose(
+        _leaves(outs[0].params), _leaves(outs[1].params), rtol=2e-3, atol=2e-4
+    )
+    split = [l for l in jax.tree_util.tree_leaves(outs[1].params)
+             if l.ndim and l.addressable_shards[0].data.shape != l.shape]
+    assert split, "no param leaf stayed FSDP-sharded after training steps"
+    biggest = max(jax.tree_util.tree_leaves(outs[1].params), key=lambda l: l.size)
+    assert biggest.addressable_shards[0].data.size == biggest.size // 8
+    # moments sharded identically to their params
+    mu = jax.tree_util.tree_leaves(outs[1].opt)
+    assert any(l.ndim and l.size == biggest.size and
+               l.addressable_shards[0].data.size == l.size // 8 for l in mu)
+
+
 def test_transformer_sp2_matches_dp8():
     """Sequence-parallel activation sharding (dp4 x sp2, `parallel/sp.py`):
     loss and grads must equal the plain dp8 run — GSPMD shards the token axis
