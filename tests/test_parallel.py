@@ -260,6 +260,35 @@ def test_transformer_trainer_dp4_tp2(tmp_path):
     assert np.all(np.isfinite(_leaves(state.params)))
 
 
+def test_transformer_trainer_dp4_tp2_fsdp(tmp_path):
+    """TP x FSDP composition through the real trainer: head/MLP split on
+    'model' AND largest-free-dim split on 'data' (`parallel/fsdp.py`
+    base_specs path); finite step + a doubly-sharded leaf must survive it."""
+    import dataclasses as dc
+
+    from ccvs_tpu.models import FrameAutoencoder
+    from ccvs_tpu.train.transformer_trainer import TransformerTrainer
+
+    base = _cfg(str(tmp_path))
+    cfg = base.replace(
+        data=dataclasses.replace(base.data, vid_len=2, load_vid_len=None),
+        gpt=dc.replace(base.gpt, fsdp=True),
+    )
+    ae = FrameAutoencoder(cfg.ae, dtype=jnp.float32)
+    ae_params = ae.init(jax.random.PRNGKey(0))
+    random.seed(42)
+    tr = TransformerTrainer(cfg, ae_params, dtype=jnp.float32,
+                            mesh=make_mesh(8, model_parallel=2))
+    state = tr.run(n_iter=1)
+    assert int(state.step) == 1
+    assert np.all(np.isfinite(_leaves(state.params)))
+    # at least one leaf is split over BOTH axes (shard = 1/8 of global)
+    assert any(
+        l.ndim and l.addressable_shards[0].data.size == l.size // 8
+        for l in jax.tree_util.tree_leaves(state.params)
+    ), "no leaf carries the composed tp x fsdp sharding"
+
+
 def test_dryrun_multichip_step():
     """The driver's multichip dry run must keep passing under the test mesh
     (guards `__graft_entry__.dryrun_multichip` against regressions)."""
