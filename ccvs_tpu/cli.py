@@ -50,6 +50,9 @@ def _add_common(p):
                    help="transformer training only: shard params + adam "
                         "moments over the 'data' axis (ZeRO-3 via GSPMD, "
                         "parallel/fsdp.py)")
+    p.add_argument("--grad-accum", type=int, default=None,
+                   help="transformer training: microbatches per optimizer "
+                        "update (lax.scan gradient accumulation)")
     p.add_argument("--async-ckpt", action="store_true",
                    help="checkpoint asynchronously: on-device snapshot + "
                         "background disk write (needs HBM headroom for the "
@@ -167,6 +170,8 @@ def main(argv=None):
             cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, seq_parallel=True))
         if getattr(args, "fsdp", False):
             cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, fsdp=True))
+        if getattr(args, "grad_accum", None):
+            cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, grad_accum=args.grad_accum))
         ae_params = _load_ae_params(args, cfg)
         TransformerTrainer(cfg, ae_params, mesh=_mesh(args)).run(resume=args.resume)
 

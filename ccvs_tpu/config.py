@@ -285,6 +285,12 @@ class TransformerConfig:
     # vs recompute trade; lets full-length training fit a 16 GB chip)
     remat: bool = False
 
+    # gradient accumulation: scan the train step over N microbatches before
+    # one optimizer update (activation memory of one microbatch; exact same
+    # update as the full batch — equal sizes, static masks). The reference
+    # has no analog; big global batches need more GPUs there.
+    grad_accum: int = 1
+
     # sequence-parallel training forward: shard the token axis of block
     # activations over the mesh 'model' axis (GSPMD Megatron-SP analog,
     # parallel/sp.py). Scaling headroom beyond the reference (DP-only,

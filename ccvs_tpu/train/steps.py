@@ -147,18 +147,44 @@ def make_transformer_step(transformer, cfg: TransformerConfig, n_iter: int,
     def init_state(params):
         return SimpleTrainState(step=jnp.zeros((), jnp.int32), params=params, opt=opt.init(params))
 
-    def step(state, batch):
-        def loss_fn(params):
-            return transformer.loss(
-                params,
-                batch["code"],
-                state_code=batch.get("state_code"),
-                cond_code=batch.get("cond_code"),
-                delta=batch.get("delta"),
-                lbl=batch.get("vid_lbl"),
-            )
+    def mb_loss(params, mb):
+        return transformer.loss(
+            params,
+            mb["code"],
+            state_code=mb.get("state_code"),
+            cond_code=mb.get("cond_code"),
+            delta=mb.get("delta"),
+            lbl=mb.get("vid_lbl"),
+        )
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    accum = max(1, getattr(cfg, "grad_accum", 1))
+
+    def step(state, batch):
+        if accum == 1:
+            (loss, metrics), grads = jax.value_and_grad(
+                mb_loss, has_aux=True)(state.params, batch)
+        else:
+            # microbatch the global batch with lax.scan: one compiled body,
+            # activation memory of ONE microbatch, grads accumulated in a
+            # full-size buffer. Equal microbatch sizes + static mask layouts
+            # make mean-of-means identical to the full-batch mean.
+            def split(x):
+                assert x.shape[0] % accum == 0, (
+                    f"grad_accum={accum} must divide batch {x.shape[0]}")
+                return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+
+            mbs = jax.tree_util.tree_map(split, batch)
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+            def body(gsum, mb):
+                (_, m), g = jax.value_and_grad(
+                    mb_loss, has_aux=True)(state.params, mb)
+                return jax.tree_util.tree_map(jnp.add, gsum, g), m
+
+            gsum, ms = jax.lax.scan(body, zero, mbs)
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            metrics = jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), ms)
+        metrics["gnorm"] = optax.global_norm(grads)
         updates, new_opt = opt.update(grads, state.opt, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params, opt=new_opt), metrics

@@ -128,6 +128,45 @@ def test_transformer_overfit(rng):
     assert nlls[-1] < nlls[0] * 0.5, (nlls[0], nlls[-1])
 
 
+def test_transformer_grad_accum_matches_full_batch(rng):
+    """grad_accum=4 (lax.scan microbatching) must produce the SAME update as
+    the one-shot full-batch step: equal microbatch sizes + static mask
+    layouts make mean-of-means exact, not approximate."""
+    import dataclasses
+
+    cfg = TransformerConfig(
+        z_num=16, z_len=32, z_chunk=16, num_blocks=2, cond_len=0,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        lr=1e-2, lr_warmup_iter=1,
+    )
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    params = tr.init(jax.random.PRNGKey(0), batch=4)
+    code = jnp.asarray(rng.randint(0, 16, (8, 32)))
+
+    outs = []
+    for accum in (1, 4):
+        cfg_a = dataclasses.replace(cfg, grad_accum=accum)
+        init_state, step = make_transformer_step(tr, cfg_a, n_iter=100)
+        state = init_state(params)
+        nlls, gnorms = [], []
+        for _ in range(3):
+            state, m = step(state, {"code": code})
+            nlls.append(float(m["nll"]))
+            gnorms.append(float(m["gnorm"]))
+        outs.append((state, nlls, gnorms))
+    (s1, nll1, gn1), (s4, nll4, gn4) = outs
+    # gradient exactness: global grad norm per step (adam's step-1 update is
+    # +-lr*sign(g), so raw param equality is sign-flip-sensitive on
+    # near-zero grads — the grads themselves are the meaningful invariant)
+    np.testing.assert_allclose(gn1, gn4, rtol=1e-4)
+    np.testing.assert_allclose(nll1, nll4, rtol=1e-5)
+    l1 = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(s1.params)])
+    l4 = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(s4.params)])
+    # params: near-identical except fp sign flips on ~zero-grad elements
+    frac = np.mean(np.abs(l1 - l4) > 1e-3)
+    assert frac < 0.005, f"{frac:.4f} of params diverged beyond adam noise"
+
+
 def test_synthetic_dataset_pipeline():
     from ccvs_tpu.data import PrefetchLoader, create_dataset
 
