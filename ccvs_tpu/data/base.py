@@ -22,7 +22,11 @@ import random
 from typing import Dict, List, Optional
 
 import numpy as np
-from PIL import Image
+from PIL import Image, ImageFile
+
+# tolerate truncated files mid-crawl: large-scale video-frame corpora always
+# contain a few (reference sets the same flag, `data/base_dataset.py:8-9`)
+ImageFile.LOAD_TRUNCATED_IMAGES = True
 
 from ccvs_tpu.config import DataConfig
 from ccvs_tpu.data.elastic import ElasticParams, get_augmentation

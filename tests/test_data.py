@@ -260,3 +260,23 @@ def test_download_kinetics_injected(tmp_path):
                                fetch_fn=fetch, trim_fn=trim)
     assert counts == {"ok": 1}
     assert (out / "tmp" / "ddd_0_2.mp4").read_bytes() == b"rawddd"
+
+
+def test_load_frame_tolerates_truncated_jpeg(tmp_path):
+    """Reference sets PIL LOAD_TRUNCATED_IMAGES (`data/base_dataset.py:8-9`);
+    a frame file cut mid-write must decode, not kill a long training run."""
+    import io
+
+    from PIL import Image as PILImage
+
+    from ccvs_tpu.data.base import load_frame
+
+    rng = np.random.RandomState(0)
+    buf = io.BytesIO()
+    PILImage.fromarray(rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)).save(
+        buf, "JPEG")
+    data = buf.getvalue()
+    p = tmp_path / "trunc.jpg"
+    p.write_bytes(data[: len(data) - len(data) // 4])  # drop the tail
+    out = load_frame(str(p))
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8
