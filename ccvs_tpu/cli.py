@@ -54,9 +54,9 @@ def _add_common(p):
                    help="transformer training: microbatches per optimizer "
                         "update (lax.scan gradient accumulation)")
     p.add_argument("--async-ckpt", action="store_true",
-                   help="checkpoint asynchronously: on-device snapshot + "
-                        "background disk write (needs HBM headroom for the "
-                        "transient state copy)")
+                   help="checkpoint asynchronously: background disk write "
+                        "overlaps training (device->host copy still happens "
+                        "at the save call)")
 
 
 def _config(args):
@@ -155,12 +155,19 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    # trainers that stop on SIGTERM/SIGINT exit 75 (EX_TEMPFAIL): wrapper
+    # scripts / retry loops can distinguish "preempted, resume me" from done
+    def _exit_preempted(trainer):
+        if getattr(trainer, "preempted", False):
+            sys.exit(75)
+
     if args.task == "train-ae":
         from ccvs_tpu.train.ae_trainer import FrameAutoencoderTrainer
 
         cfg = _config(args)
-        FrameAutoencoderTrainer(cfg, vgg_npz=args.vgg_npz, mesh=_mesh(args)).run(
-            resume=args.resume)
+        tr = FrameAutoencoderTrainer(cfg, vgg_npz=args.vgg_npz, mesh=_mesh(args))
+        tr.run(resume=args.resume)
+        _exit_preempted(tr)
 
     elif args.task == "train-transformer":
         from ccvs_tpu.train.transformer_trainer import TransformerTrainer
@@ -173,20 +180,26 @@ def main(argv=None):
         if getattr(args, "grad_accum", None):
             cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, grad_accum=args.grad_accum))
         ae_params = _load_ae_params(args, cfg)
-        TransformerTrainer(cfg, ae_params, mesh=_mesh(args)).run(resume=args.resume)
+        tr = TransformerTrainer(cfg, ae_params, mesh=_mesh(args))
+        tr.run(resume=args.resume)
+        _exit_preempted(tr)
 
     elif args.task == "train-state":
         from ccvs_tpu.train.state_trainer import StateEstimatorTrainer
 
         cfg = _config(args)
         ae_params = _load_ae_params(args, cfg)
-        StateEstimatorTrainer(cfg, ae_params, mesh=_mesh(args)).run(resume=args.resume)
+        tr = StateEstimatorTrainer(cfg, ae_params, mesh=_mesh(args))
+        tr.run(resume=args.resume)
+        _exit_preempted(tr)
 
     elif args.task == "train-stft":
         from ccvs_tpu.train.state_trainer import StftAutoencoderTrainer
 
         cfg = _config(args)
-        StftAutoencoderTrainer(cfg, mesh=_mesh(args), vgg_npz=args.vgg_npz).run(resume=args.resume)
+        tr = StftAutoencoderTrainer(cfg, mesh=_mesh(args), vgg_npz=args.vgg_npz)
+        tr.run(resume=args.resume)
+        _exit_preempted(tr)
 
     elif args.task == "generate":
         _generate(args)

@@ -367,10 +367,9 @@ class Config:
     save_freq: int = -1
     log_freq: Optional[int] = 2000
     n_iter_eval: Optional[int] = None
-    # async checkpointing: snapshot state on-device and stream to disk on
-    # background threads (utils/checkpoint.py). Opt-in: the snapshot briefly
-    # doubles the train-state HBM footprint, which memory-tight configs
-    # (256^2 BAIR on one 16 GB chip) may not have.
+    # async checkpointing: the device->host copy happens inside save (no
+    # extra HBM), the disk serialization runs on background threads
+    # (utils/checkpoint.py). Opt-in this round for queued-run stability.
     async_ckpt: bool = False
 
     def replace(self, **kw) -> "Config":

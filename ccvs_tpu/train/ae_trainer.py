@@ -255,7 +255,7 @@ class FrameAutoencoderTrainer:
                     ckpt.save("qvid", it, state, latest=True)
                 if cfg.save_freq > 0 and it % cfg.save_freq == 0 and it > start:
                     ckpt.save("qvid", it, state)
-                if guard.triggered:
+                if guard.sync_triggered():
                     # step boundary: state.step is already it+1, so --resume
                     # continues exactly where the preempted run stopped
                     ckpt.save("qvid", it + 1, state, latest=True)
@@ -265,6 +265,7 @@ class FrameAutoencoderTrainer:
                     break
         if not preempted:
             ckpt.save("qvid", n_iter, state, latest=True)
+        self.preempted = preempted  # callers/CLI: exit 75 on preemption
         ckpt.wait()
         logger.close()
         return state

@@ -86,7 +86,7 @@ class StateEstimatorTrainer:
         vloader = PrefetchLoader(valid_ds, cfg.data.batch_size_img, shuffle=False,
                                  num_workers=cfg.data.num_workers)
         it_data = iter(cycle_loader(loader))
-        best = float("inf")
+        best = ckpt.best_metric("state") if resume else float("inf")
         preempted = False
         with PreemptionGuard() as guard:
             for it in range(start, n_iter):
@@ -98,14 +98,16 @@ class StateEstimatorTrainer:
                     if err < best:
                         best = err
                         ckpt.save("state", it, state, best=True)
+                        ckpt.record_best("state", it, err)
                 if it % cfg.save_latest_freq == 0 and it > 0:
                     ckpt.save("state", it, state, latest=True)
-                if guard.triggered:
+                if guard.sync_triggered():
                     ckpt.save("state", it + 1, state, latest=True)
                     preempted = True
                     break
         if not preempted:
             ckpt.save("state", n_iter, state, latest=True)
+        self.preempted = preempted  # callers/CLI: exit 75 on preemption
         ckpt.wait()
         logger.close()
         return state
@@ -157,7 +159,7 @@ class StftAutoencoderTrainer:
         loader = PrefetchLoader(ds, cfg.data.batch_size_vid,
                                 num_workers=cfg.data.num_workers)
         it_data = iter(cycle_loader(loader))
-        best = float("inf")
+        best = ckpt.best_metric("stft") if resume else float("inf")
         preempted = False
         with PreemptionGuard() as guard:
             for it in range(start, n_iter):
@@ -168,14 +170,16 @@ class StftAutoencoderTrainer:
                     if mse < best:
                         best = mse
                         ckpt.save("stft", it, state, best=True)
+                        ckpt.record_best("stft", it, mse)
                 if it % cfg.save_latest_freq == 0 and it > 0:
                     ckpt.save("stft", it, state, latest=True)
-                if guard.triggered:
+                if guard.sync_triggered():
                     ckpt.save("stft", it + 1, state, latest=True)
                     preempted = True
                     break
         if not preempted:
             ckpt.save("stft", n_iter, state, latest=True)
+        self.preempted = preempted  # callers/CLI: exit 75 on preemption
         ckpt.wait()
         logger.close()
         return state

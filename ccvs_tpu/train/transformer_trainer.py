@@ -112,24 +112,21 @@ class TransformerTrainer:
         from ccvs_tpu.parallel.mesh import replicate_tree
         from ccvs_tpu.parallel.tp import shard_gpt_params
 
-        tstate = replicate_tree(self.mesh, tstate)
         tp_on = self.mesh.shape.get("model", 1) > 1
-        if tp_on:
-            # Megatron head/MLP sharding; the adam moments nest the same param
-            # dict, so the same path-keyed specs shard them identically.
-            tstate = tstate.replace(
-                params=shard_gpt_params(self.mesh, tstate.params),
-                opt=shard_gpt_params(self.mesh, tstate.opt),
-            )
         if cfg.gpt.fsdp:
-            # ZeRO-3 via GSPMD: split params + moments over 'data' too
-            # (composes with the tp specs above — parallel/fsdp.py), and
-            # re-jit the step with pinned output shardings so the updated
-            # state STAYS split (propagation alone may replicate it).
+            # ZeRO-3 via GSPMD: split params + moments over 'data' (composed
+            # with the tp specs when model > 1 — parallel/fsdp.py). The host
+            # state is device_put straight into the sharded layout — no
+            # replicate-first step, so peak per-device HBM at init is the
+            # SHARD size, which is the point of FSDP. The step is re-jitted
+            # with pinned output shardings so the updated state STAYS split
+            # (propagation alone may legally replicate it).
             from ccvs_tpu.parallel.fsdp import shard_fsdp
+            from ccvs_tpu.parallel.mesh import replicate
             from ccvs_tpu.parallel.tp import gpt_param_specs
 
             tstate = tstate.replace(
+                step=jax.device_put(tstate.step, replicate(self.mesh)),
                 params=shard_fsdp(self.mesh, tstate.params,
                                   base_specs=gpt_param_specs(tstate.params) if tp_on else None),
                 opt=shard_fsdp(self.mesh, tstate.opt,
@@ -138,6 +135,16 @@ class TransformerTrainer:
             shardings = jax.tree_util.tree_map(lambda x: x.sharding, tstate)
             _, self.step = make_transformer_step(
                 self.transformer, cfg.gpt, cfg.n_iter, state_shardings=shardings)
+        else:
+            tstate = replicate_tree(self.mesh, tstate)
+            if tp_on:
+                # Megatron head/MLP sharding; the adam moments nest the same
+                # param dict, so the same path-keyed specs shard them
+                # identically.
+                tstate = tstate.replace(
+                    params=shard_gpt_params(self.mesh, tstate.params),
+                    opt=shard_gpt_params(self.mesh, tstate.opt),
+                )
         self.ae_params = replicate_tree(self.mesh, self.ae_params)
 
         ds = create_dataset(cfg.data, phase="train", load_vid=True)
@@ -168,7 +175,7 @@ class TransformerTrainer:
                           f"({el / max(1, it - start + 1):.2f}s/it)")
                 if it % cfg.save_latest_freq == 0 and it > start:
                     ckpt.save("transformer", it, tstate, latest=True)
-                if guard.triggered:
+                if guard.sync_triggered():
                     ckpt.save("transformer", it + 1, tstate, latest=True)
                     print(f"[preemption] latest checkpoint written at iter "
                           f"{it + 1}; exiting cleanly", flush=True)
@@ -176,6 +183,7 @@ class TransformerTrainer:
                     break
         if not preempted:
             ckpt.save("transformer", n_iter, tstate, latest=True)
+        self.preempted = preempted  # callers/CLI: exit 75 on preemption
         ckpt.wait()
         logger.close()
         return tstate

@@ -20,18 +20,23 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    """``async_save=True`` turns saves into the production TPU pattern:
-    snapshot the state on-device (cheap HBM copy, safe against the train
-    step's buffer donation), then stream it to disk on background threads
-    while training continues. ``wait()`` (or the next save/load) joins the
-    in-flight write; the rolling latest/best dirs are only swapped after
-    the previous write finished, so a crash never leaves a half "latest".
+    """``async_save=True`` turns saves into the production TPU pattern: the
+    device->host copy happens inside ``save`` (so the caller may immediately
+    donate its buffers into the next jitted step — no snapshot needed), and
+    the disk serialization runs on background threads while training
+    continues. ``wait()`` (or the next save/load) joins the in-flight write.
+
+    Crash safety in BOTH modes: orbax writes to a ``*.orbax-checkpoint-tmp``
+    dir and renames atomically on finalize, and the rolling latest/best
+    predecessors are only deleted AFTER the replacement is durable — a kill
+    at any instant leaves a complete, loadable latest on disk.
     """
 
     def __init__(self, path: str, async_save: bool = False):
         self.path = os.path.abspath(path)
         os.makedirs(self.path, exist_ok=True)
         self.async_save = async_save
+        self._pending_deletes = []
         if async_save:
             self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
         else:
@@ -62,37 +67,73 @@ class CheckpointManager:
             kinds.append("best")
         if self.async_save:
             # join any in-flight write before touching its directories
+            # (the save below does its own device->host copy, so donated
+            # caller buffers are safe without a snapshot)
             self._ckptr.wait_until_finished()
-            # device-side snapshot: the caller's arrays may be DONATED into
-            # the next jitted step while the background write still reads
-            import jax.numpy as jnp
-
-            tree = jax.tree_util.tree_map(
-                lambda x: jnp.copy(x) if isinstance(x, jax.Array) else np.asarray(x),
-                tree)
+            self._flush_deletes()
         else:
             tree = jax.tree_util.tree_map(np.asarray, tree)
         for i, kind in enumerate(kinds):
-            for old_step, old_dir in self._find(label, kind) if kind else []:
-                shutil.rmtree(old_dir, ignore_errors=True)
             d = self._dir(label, step, kind)
-            shutil.rmtree(d, ignore_errors=True)
+            # write-first: predecessors are deleted only once the
+            # replacement is durable, so a kill mid-write can't leave the
+            # run without a loadable latest/best
+            olds = [p for _, p in (self._find(label, kind) if kind else [])
+                    if p != d]
+            shutil.rmtree(d, ignore_errors=True)  # stale same-step leftover
             if self.async_save:
                 self._ckptr.save(d, args=ocp.args.StandardSave(tree))
+                if i < len(kinds) - 1:
+                    self._ckptr.wait_until_finished()
+                    for p in olds:
+                        shutil.rmtree(p, ignore_errors=True)
+                else:
+                    # last kind's write stays in flight; its predecessors
+                    # are removed at the next join point
+                    self._pending_deletes.extend(olds)
             else:
                 self._ckptr.save(d, tree)
-            if not self.async_save or i < len(kinds) - 1:
-                # only the LAST kind's write may stay in flight
                 self._ckptr.wait_until_finished()
+                for p in olds:
+                    shutil.rmtree(p, ignore_errors=True)
+
+    def _flush_deletes(self):
+        """Remove rolling predecessors whose replacement is now durable.
+        Only called after ``wait_until_finished``."""
+        for p in self._pending_deletes:
+            shutil.rmtree(p, ignore_errors=True)
+        self._pending_deletes = []
 
     def wait(self):
         """Join the in-flight async write (no-op for sync managers)."""
         self._ckptr.wait_until_finished()
+        self._flush_deletes()
+
+    def record_best(self, label: str, step: int, metric: float):
+        """Persist the best-checkpoint eval metric so a resumed run does not
+        reset its best tracking to +inf and overwrite a genuinely better
+        checkpoint with the first post-resume eval."""
+        import json
+
+        with open(os.path.join(self.path, f"{label}_best_metric.json"), "w") as f:
+            json.dump({"step": step, "metric": metric}, f)
+
+    def best_metric(self, label: str) -> float:
+        import json
+
+        try:
+            with open(os.path.join(self.path, f"{label}_best_metric.json")) as f:
+                return float(json.load(f)["metric"])
+        except (OSError, ValueError, KeyError):
+            return float("inf")
 
     def load(self, label: str, which="latest", target: Optional[Any] = None) -> Any:
         """Resolve like `load_network` (`models/__init__.py:63-97`):
-        ``which`` is "latest", "best", or an int step."""
+        ``which`` is "latest", "best", or an int step. If a crash left two
+        rolling dirs of a kind (predecessor deletion is deferred until the
+        replacement is durable), the highest step wins."""
         self._ckptr.wait_until_finished()
+        self._flush_deletes()
         if which in ("latest", "best"):
             found = self._find(label, which)
             if not found:

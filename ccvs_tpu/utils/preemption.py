@@ -56,6 +56,26 @@ class PreemptionGuard:
     def triggered(self) -> bool:
         return self._triggered.is_set()
 
+    def sync_triggered(self) -> bool:
+        """Cross-host agreement on the flag: on a multi-process pod the VM
+        delivers SIGTERM to each host at slightly different times, so a
+        purely-local check would have hosts break out of the training loop
+        at DIFFERENT iterations — the remaining hosts then deadlock in the
+        next step's gradient all-reduce. Global-OR of the local flags at the
+        step boundary makes every host exit (and checkpoint) at the same
+        iteration. Single-process: identical to :attr:`triggered`, no
+        collective issued."""
+        import jax
+
+        if jax.process_count() == 1:
+            return self.triggered
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            _np.asarray([self.triggered], _np.int32))
+        return bool(_np.asarray(flags).any())
+
     def trigger(self, signum=None):
         """Latch the flag (idempotent). Called by the signal handler; may
         also be called directly to request a save-and-exit."""

@@ -40,6 +40,24 @@ def test_async_rolling_latest(tmp_path):
     assert float(np.asarray(out["w"]).max()) == 2.0
 
 
+def test_async_rolling_never_without_complete_latest(tmp_path):
+    """Predecessor deletion is deferred until the replacement is durable:
+    at every instant of an in-flight latest write, a COMPLETE latest dir is
+    resolvable (orbax writes to *.orbax-checkpoint-tmp and renames on
+    finalize, so an unfinished write never matches)."""
+    ckpt = CheckpointManager(str(tmp_path), async_save=True)
+    ckpt.save("m", 1, _tree(1.0), latest=True)
+    ckpt.wait()
+    big = {"w": jnp.ones((2048, 2048), jnp.float32),
+           "b": jnp.zeros((64,), jnp.float32),
+           "step": jnp.asarray(2, jnp.int32)}
+    ckpt.save("m", 2, big, latest=True)  # write in flight (or already done)
+    assert ckpt.step_of("m", "latest") >= 1  # old survives until durable
+    ckpt.wait()
+    assert ckpt.step_of("m", "latest") == 2
+    assert len(ckpt._find("m", "latest")) == 1  # predecessor cleaned up
+
+
 def test_async_load_joins_inflight_write(tmp_path):
     ckpt = CheckpointManager(str(tmp_path), async_save=True)
     ckpt.save("m", 5, _tree(5.0), latest=True)

@@ -72,9 +72,11 @@ def test_ae_trainer_preempt_and_resume(tmp_path, monkeypatch):
     monkeypatch.setattr(Logger, "log_scalars", fire_on_second)
     state = tr.run(n_iter=5)
     assert int(state.step) == 2  # stopped at the it=1 step boundary
+    assert tr.preempted  # CLI maps this to exit code 75 (EX_TEMPFAIL)
 
     monkeypatch.setattr(Logger, "log_scalars", orig)
     ckpt_dir = os.path.join(str(tmp_path), "checkpoints", "tiny")
     assert os.path.isdir(ckpt_dir)
     state = tr.run(n_iter=5, resume=True)
     assert int(state.step) == 5
+    assert not tr.preempted
