@@ -265,6 +265,24 @@ def _generate(args):
                             num_workers=cfg.data.num_workers, drop_last=True)
     result_path = os.path.join(cfg.save_path, "results", cfg.name)
     rng = jax.random.PRNGKey(cfg.seed)
+
+    # data-parallel generation: batch sharded over the mesh 'data' axis,
+    # frozen params replicated — the jitted synthesis programs SPMD across
+    # chips (TPU-native analog of the reference's DDP save_videos protocol,
+    # `tools/engine.py:71-101` + `helpers/generator.py`). Single device:
+    # mesh is None and placement is the plain default.
+    mesh = None
+    if (args.n_devices or 1) > 1 or args.model_parallel > 1:
+        mesh = _mesh(args)
+        n_data = mesh.shape["data"]
+        if cfg.data.batch_size_vid % n_data:
+            raise SystemExit(
+                f"--n-devices: batch_size_vid {cfg.data.batch_size_vid} "
+                f"must divide the data axis {n_data}")
+        from ccvs_tpu.parallel.mesh import replicate_tree
+
+        params = replicate_tree(mesh, params)
+
     it = iter(loader)
     for i in range(args.n_batches):
         try:
@@ -272,12 +290,19 @@ def _generate(args):
         except StopIteration:
             it = iter(loader)
             batch = next(it)
-        vid = jnp.asarray(batch["vid"])
+        dev = {k: batch[k] for k in ("vid", "stft", "vid_lbl") if k in batch}
+        if mesh is not None:
+            from ccvs_tpu.parallel.mesh import put_batch
+
+            dev = put_batch(mesh, dev)
+        else:
+            dev = {k: jnp.asarray(v) for k, v in dev.items()}
+        vid = dev["vid"]
         rng, sub = jax.random.split(rng)
         # --rec-only: reconstruction-quality runs, no AR generation
         # (the old wiring inverted this and disabled rec instead)
-        out = gen.generate(params, sub, vid, stft=batch.get("stft"),
-                           vid_lbl=batch.get("vid_lbl"), rec=True,
+        out = gen.generate(params, sub, vid, stft=dev.get("stft"),
+                           vid_lbl=dev.get("vid_lbl"), rec=True,
                            fake=not args.rec_only, keep_state=args.keep_state)
         gen.save_batch(result_path, i, cfg.data.batch_size_vid, vid, out,
                        fps=cfg.data.fps, imagenet_norm=cfg.data.imagenet_norm,

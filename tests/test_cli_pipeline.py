@@ -74,6 +74,16 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert len(list(fake_dir.glob("*.avi"))) == TINY_DATA.batch_size_vid
     assert (results / "rec").is_dir()
 
+    # 3b. data-parallel generation: batch sharded over a 2-device mesh,
+    #     params replicated (reference DDP save_videos analog)
+    cli.main(["generate", "--load-config", str(cfg_path),
+              "--save-path", str(tmp_path), "--name", "clitinydp2",
+              "--n-batches", "1", "--n-devices", "2",
+              "--ae-ckpt", str(ae_ckpt), "--gpt-ckpt", str(ae_ckpt)])
+    dp2 = tmp_path / "results" / "clitinydp2"
+    assert len(list((dp2 / "fake").glob("*.avi"))) == TINY_DATA.batch_size_vid
+    assert len(list((dp2 / "real").glob("*.avi"))) == TINY_DATA.batch_size_vid
+
     # 4. offline metrics over the written videos
     capsys.readouterr()
     cli.main(["eval-metrics", "--real", str(real_dir), "--fake", str(fake_dir)])
