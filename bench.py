@@ -100,9 +100,17 @@ def main():
     run(jax.random.PRNGKey(1))
     run(jax.random.PRNGKey(2))
 
-    iters = 3
+    # The tunneled chip has sustained slow windows (+10-30%, occasionally
+    # worse) lasting minutes; a tight min-of-3 can land entirely inside one.
+    # Spread the measurement iterations a little so min-of-N samples more
+    # than one window. Measurement cost (~7 s/iter) is negligible next to
+    # the ~20 min compile, so the extra iterations are nearly free.
+    iters = int(os.environ.get("CCVS_BENCH_ITERS", "6"))
+    gap_s = float(os.environ.get("CCVS_BENCH_GAP_S", "45"))
     times = []
     for i in range(iters):
+        if i:
+            time.sleep(gap_s)
         t0 = time.perf_counter()
         run(jax.random.PRNGKey(3 + i))
         times.append(time.perf_counter() - t0)
@@ -122,6 +130,7 @@ def main():
                 # baseline 0.5 f/s is an ESTIMATE (reference publishes none)
                 "value_mean": round(fps_mean, 3),
                 "iters": iters,
+                "iter_times_s": [round(t, 3) for t in times],
                 "baseline_is_estimate": True,
                 **serve_info,
             }
