@@ -126,21 +126,30 @@ class TokenTransformer:
             self._qparams = quantize_gpt_int8(params)
         if cfg.state_size > 0 and state_code is None:
             state_code = jnp.zeros((b, 0), jnp.int32)
-        n_state0 = state_code.shape[1] if state_code is not None else 0
 
-        cap = self._capacity(cond_code, n_state0_cap=True)
-        cur = code.shape[1] + min(n_state0, cfg.num_blocks * cfg.state_size)
+        cap = self._capacity(cond_code)
         if total_len is None:
             total_len = cap + (cond_code.shape[1] if cond_code is not None else 0)
         budget = total_len - (cond_code.shape[1] if cond_code is not None else 0)
 
+        # in-window capacities of a full window (a provided state stream —
+        # drums audio stft, deblur token streams — can be LONGER than the
+        # window; only the in-window slice counts toward the merged length)
+        cap_sched = self._sched_for(cap)
+        f_cap = int((np.asarray(cap_sched.frame_pos) < cap).sum())
+        s_cap = int((np.asarray(cap_sched.state_pos) < cap).sum())
+
         # 1. fill to capacity (or budget if smaller)
         first_target = min(cap, budget)
         rng, sub = jax.random.split(rng)
-        code, state_code = self._fill(
+        new_code, new_state = self._fill(
             params, sub, code, state_code, cond_code, delta, lbl,
             target_merged_len=first_target,
         )
+        code = new_code
+        if state_code is None or new_state is None or (
+                new_state.shape[1] >= state_code.shape[1]):
+            state_code = new_state  # sampled states grew; provided stream kept
         cur = first_target
 
         # 2. sliding window: drop the oldest frame's tokens, refill one chunk
@@ -151,11 +160,12 @@ class TokenTransformer:
                 delta = delta - 1
             tmp_code = code[:, i * cfg.size :]
             tmp_state = state_code[:, i * cfg.state_size :] if state_code is not None else None
-            tmp_merged = tmp_code.shape[1] + (tmp_state.shape[1] if tmp_state is not None else 0)
+            tmp_merged = min(tmp_code.shape[1], f_cap) + (
+                min(tmp_state.shape[1], s_cap) if tmp_state is not None else 0)
             rng, sub = jax.random.split(rng)
             new_code, new_state = self._fill(
                 params, sub, tmp_code, tmp_state, cond_code, delta, lbl,
-                target_merged_len=tmp_merged + add,
+                target_merged_len=min(cap, tmp_merged + add),
             )
             code = jnp.concatenate([code, new_code[:, tmp_code.shape[1] :]], axis=1)
             if state_code is not None and new_state.shape[1] > tmp_state.shape[1]:
@@ -167,7 +177,7 @@ class TokenTransformer:
 
         return {"code": code, "state_code": state_code}
 
-    def _capacity(self, cond_code, n_state0_cap=False):
+    def _capacity(self, cond_code):
         """Merged-token capacity of one window (`transformer_model.py:337-339`)."""
         cfg = self.cfg
         cap = cfg.z_len
@@ -183,10 +193,13 @@ class TokenTransformer:
         b = code.shape[0]
         n0_frame = code.shape[1]
         n0_state = state_code.shape[1] if state_code is not None else 0
-        n0 = n0_frame + n0_state
         L = int(target_merged_len)
-        if L <= n0:
+        if L <= 0:
             return code, state_code
+        # NOTE: a provided state stream can be LONGER than the window (drums
+        # audio-on: 45x16 stft tokens vs 16 in-window state blocks); only the
+        # in-window slice counts as given — the all-covered early return
+        # below handles "nothing to generate", not a raw n0 comparison.
 
         sched = self._sched_for(L)
         kind = jnp.asarray(sched.kind[:L])

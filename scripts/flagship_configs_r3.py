@@ -99,17 +99,23 @@ def run_drums(out):
     out["drums_45f_128px_audio_fps"] = round(frames / dt, 3)
 
 
+def _persist(out):
+    # write after every config so a late crash can't lose earlier results
+    path = "runs_r3/flagship_fps.json"
+    prev = json.load(open(path)) if os.path.exists(path) else {}
+    prev.update(out)
+    with open(path, "w") as f:
+        json.dump(prev, f, indent=1)
+
+
 if __name__ == "__main__":
     os.makedirs("runs_r3", exist_ok=True)
     out = {}
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     if which in ("both", "kinetics"):
         run_kinetics(out)
+        _persist(out)
     if which in ("both", "drums"):
         run_drums(out)
+        _persist(out)
     print(json.dumps(out))
-    path = "runs_r3/flagship_fps.json"
-    prev = json.load(open(path)) if os.path.exists(path) else {}
-    prev.update(out)
-    with open(path, "w") as f:
-        json.dump(prev, f, indent=1)

@@ -322,6 +322,50 @@ def test_generate_stft_audio_conditioned(rng):
     assert np.isfinite(np.asarray(out["fake"])).all()
 
 
+def test_generate_stft_stream_longer_than_window(rng):
+    """Audio-on rollout where the provided stft stream is LONGER than the
+    transformer window (the drums 45-frame config: 720 stft tokens vs 256
+    in-window state slots, `scripts/drums/save_videos_audio_on.sh:9-12`).
+    Only the in-window slice of the stream is 'given'; the window must
+    slide through the rest without overflowing capacity, and the provided
+    stream must ride through unaltered (regression: the old merged-length
+    accounting counted the whole stream as in-window, skipped generation,
+    then overflowed the positional embedding on the first slide)."""
+    cfg = TransformerConfig(
+        z_num=32, z_len=128, z_chunk=32, num_blocks=4, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        stft=True, state_num=32, state_size=16, top_k=5,
+    )
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params = tr.init(key, batch=1)
+    t = 7  # 7 frames x 16 state tokens = 112 > 64 in-window state slots
+    ctx_code = jnp.zeros((1, cfg.cond_len), jnp.int32)
+    stream = jax.random.randint(jax.random.PRNGKey(5), (1, t * 16), 0, 32)
+    out = tr.generate(params, jax.random.PRNGKey(1), ctx_code,
+                      state_code=stream, total_len=t * cfg.z_chunk)
+    assert out["code"].shape == (1, t * 16)
+    assert out["state_code"].shape == (1, t * 16)
+    np.testing.assert_array_equal(np.asarray(out["state_code"]),
+                                  np.asarray(stream))
+
+    # end-to-end through VideoGenerator (drums audio-on protocol)
+    from ccvs_tpu.config import StftConfig
+    from ccvs_tpu.models import StftModel
+
+    stc = StftConfig(stft_size=16, stft_shape=(8, 2), stft_num=32)
+    ae = FrameAutoencoder(AE, dtype=jnp.float32)
+    sm = StftModel(stc)
+    params_all = {"ae": ae.init(key), "gpt": params, "stft": sm.init(key)}
+    gen = VideoGenerator(Config(ae=AE, gpt=cfg, stft=stc), ae, tr, stft_model=sm)
+    vid = jnp.asarray(rng.randn(1, t, 8, 8, 3).astype(np.float32)) * 0.1
+    stft = jnp.asarray(rng.rand(1, t, 64, 16, 1).astype(np.float32))
+    out = gen.generate(params_all, jax.random.PRNGKey(1), vid, stft=stft,
+                       keep_state=True, rec=False)
+    assert out["fake"].shape == (1, t, 8, 8, 3)
+    assert np.isfinite(np.asarray(out["fake"])).all()
+
+
 def test_generate_unconditional_start_token(rng):
     """Unconditional generation from the learned start token (reference
     `scripts/bairhd/save_videos_unc.sh` + `transformer_model.py` start-token
