@@ -13,11 +13,13 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 _LIB = None
-_LIB_PATHS = [
-    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-                 "native", "libccvs_loader.so"),
-    "libccvs_loader.so",
-]
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_LIB_PATHS = [p for p in [
+    os.environ.get("CCVS_TPU_NATIVE_LIB"),           # explicit override
+    os.path.join(os.path.dirname(_PKG_DIR), "native", "libccvs_loader.so"),  # repo checkout
+    os.path.join(_PKG_DIR, "libccvs_loader.so"),      # installed alongside the package
+    "libccvs_loader.so",                              # system search path
+] if p]
 
 
 def _load():
