@@ -39,7 +39,8 @@ def _add_common(p):
                    help="multi-host: call jax.distributed.initialize() "
                         "(coordinator from env, e.g. a TPU pod slice)")
     p.add_argument("--n-devices", type=int, default=None,
-                   help="mesh size (default: all visible devices)")
+                   help="mesh size (default: all visible devices for the "
+                        "train-* tasks; 1 for generate)")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="tensor-parallel degree of the mesh 'model' axis")
     p.add_argument("--seq-parallel", action="store_true",
@@ -236,7 +237,6 @@ def _load_dir(path, unit=False):
 
 def _generate(args):
     import jax
-    import jax.numpy as jnp
 
     from ccvs_tpu.data import PrefetchLoader, create_dataset
     from ccvs_tpu.generate import VideoGenerator
@@ -246,6 +246,26 @@ def _generate(args):
     cfg = _config(args)
     if getattr(args, "serve_int8", False):
         cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, serve_int8=True))
+
+    # data-parallel generation: batch sharded over the mesh 'data' axis,
+    # frozen params replicated — the jitted synthesis programs SPMD across
+    # chips (TPU-native analog of the reference's DDP save_videos protocol,
+    # `tools/engine.py:71-101` + `helpers/generator.py`). Built before any
+    # checkpoint load so a --distributed multi-host init precedes the first
+    # device query. Single device: mesh stays None, placement is plain.
+    from ccvs_tpu.parallel.mesh import put_batch, replicate_tree
+
+    mesh = None
+    if (getattr(args, "distributed", False) or args.model_parallel > 1
+            or (args.n_devices or 0) > 1):
+        mesh = _mesh(args)
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        if cfg.data.batch_size_vid % n_data:
+            raise SystemExit(
+                f"--n-devices: the data-axis size {n_data} must divide "
+                f"batch_size_vid {cfg.data.batch_size_vid}")
+
     ae = FrameAutoencoder(cfg.ae)
     tr = TokenTransformer(cfg.gpt)
     params = {"ae": _load_ae_params(args, cfg)}
@@ -266,21 +286,7 @@ def _generate(args):
     result_path = os.path.join(cfg.save_path, "results", cfg.name)
     rng = jax.random.PRNGKey(cfg.seed)
 
-    # data-parallel generation: batch sharded over the mesh 'data' axis,
-    # frozen params replicated — the jitted synthesis programs SPMD across
-    # chips (TPU-native analog of the reference's DDP save_videos protocol,
-    # `tools/engine.py:71-101` + `helpers/generator.py`). Single device:
-    # mesh is None and placement is the plain default.
-    mesh = None
-    if (args.n_devices or 1) > 1 or args.model_parallel > 1:
-        mesh = _mesh(args)
-        n_data = mesh.shape["data"]
-        if cfg.data.batch_size_vid % n_data:
-            raise SystemExit(
-                f"--n-devices: batch_size_vid {cfg.data.batch_size_vid} "
-                f"must divide the data axis {n_data}")
-        from ccvs_tpu.parallel.mesh import replicate_tree
-
+    if mesh is not None:
         params = replicate_tree(mesh, params)
 
     it = iter(loader)
@@ -290,13 +296,8 @@ def _generate(args):
         except StopIteration:
             it = iter(loader)
             batch = next(it)
-        dev = {k: batch[k] for k in ("vid", "stft", "vid_lbl") if k in batch}
-        if mesh is not None:
-            from ccvs_tpu.parallel.mesh import put_batch
-
-            dev = put_batch(mesh, dev)
-        else:
-            dev = {k: jnp.asarray(v) for k, v in dev.items()}
+        dev = put_batch(mesh, {k: batch[k]
+                               for k in ("vid", "stft", "vid_lbl") if k in batch})
         vid = dev["vid"]
         rng, sub = jax.random.split(rng)
         # --rec-only: reconstruction-quality runs, no AR generation
