@@ -174,6 +174,7 @@ def download_kinetics(
     (and the unit tests do; see tests/test_data.py).
     """
     import csv
+    import threading
 
     if fetch_fn is None:
         try:
@@ -214,6 +215,12 @@ def download_kinetics(
     for name in {r["label"] for r in rows}:
         os.makedirs(os.path.join(output_dir, name), exist_ok=True)
 
+    # One lock per youtube_id, created up front (a lazily-populated dict
+    # could hand two racing threads two different locks): several CSV rows
+    # (segments) can share a source video, and two threads must not
+    # race-fetch the same raw path.
+    fetch_locks = {r["youtube_id"]: threading.Lock() for r in rows}
+
     def one(row):
         vid, label = row["youtube_id"], row["label"]
         start = float(row["time_start"])
@@ -221,21 +228,32 @@ def download_kinetics(
         final = os.path.join(output_dir, label, f"{vid}_{start:g}_{dur:g}.mp4")
         if os.path.exists(final):
             return "cached"
+        # Every write below goes to a scratch path first and is published by
+        # an atomic rename: a fetch/trim that dies mid-write can't leave a
+        # partial file that a rerun (or a sibling row) mistakes for a
+        # complete one.
         raw = os.path.join(tmp_dir, vid + ".mp4")
-        try:
+        with fetch_locks[vid]:
             if not os.path.exists(raw):
-                fetch_fn(vid, raw)
-        except Exception as e:  # unavailable / private videos are expected
-            print(f"unavailable: {vid} ({e})")
-            return "failed"
+                part = raw + ".part"
+                try:
+                    fetch_fn(vid, part)
+                except Exception as e:  # unavailable / private videos happen
+                    print(f"unavailable: {vid} ({e})")
+                    if os.path.exists(part):
+                        os.unlink(part)
+                    return "failed"
+                os.replace(part, raw)
         if trim:
-            if not trim_fn(raw, final, start, dur):
+            cut = os.path.join(tmp_dir, f"{vid}_{start:g}_{dur:g}.cut.mp4")
+            ok = trim_fn(raw, cut, start, dur)
+            if not ok or not os.path.exists(cut):
                 print(f"trim failed: {vid}")
+                if os.path.exists(cut):
+                    os.unlink(cut)
                 return "failed"
+            os.replace(cut, final)
         else:
-            # Fetch lands in scratch, then an atomic rename publishes it —
-            # a fetch that dies mid-write can't leave a partial file that a
-            # rerun mistakes for a cached clip.
             os.replace(raw, final)
         return "ok"
 

@@ -122,8 +122,16 @@ def _maxpool2x(x):
     return x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
 
 
-def features(params: dict, x: jnp.ndarray, arch: str = "vgg19") -> List[jnp.ndarray]:
-    """Five slice activations for NHWC input in [-1, 1]."""
+def params_arch(params: dict) -> str:
+    """Arch of a loaded params dict: vgg19 has a conv at features[16]
+    (mirrors `detect_arch` on the raw npz)."""
+    return "vgg19" if "conv16" in params else "vgg16"
+
+
+def features(params: dict, x: jnp.ndarray, arch: Optional[str] = None) -> List[jnp.ndarray]:
+    """Five slice activations for NHWC input in [-1, 1]. ``arch`` defaults
+    to whatever the params dict was exported from (vgg19 or vgg16)."""
+    arch = arch or params_arch(params)
     # [-1,1] -> imagenet normalization (reference feeds imagenet-normalized
     # tensors; our pipeline uses [-1,1], convert here). This equals the LPIPS
     # ScalingLayer (shift = 2*mean-1, scale = 2*std on [-1,1] inputs).

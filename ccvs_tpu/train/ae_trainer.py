@@ -49,7 +49,9 @@ class FrameAutoencoderTrainer:
         key = jax.random.PRNGKey(cfg.seed)
         if acfg.use_vgg_img or acfg.use_vgg_vid:
             if vgg_npz and os.path.exists(vgg_npz):
-                self.vgg_params = vgg_mod.load_vgg19_npz(vgg_npz)
+                # auto-detect the backbone: export_vgg ships vgg19,
+                # export_lpips ships vgg16 — both are valid here
+                self.vgg_params = vgg_mod.load_vgg_npz(vgg_npz)[0]
             else:
                 vgg_mod.warn_fallback("the perceptual loss")
                 self.vgg_params = vgg_mod.init_random(key)
@@ -183,6 +185,7 @@ class FrameAutoencoderTrainer:
 
         t0 = time.time()
         preempted = False
+        eval_count = 0
         with PreemptionGuard() as guard:
             for it in range(start, n_iter):
                 # short profiler capture window (SURVEY section 5.1 parity+)
@@ -232,6 +235,7 @@ class FrameAutoencoderTrainer:
                           f"d={float(dm.get('d_loss', 0.0)):.4f} "
                           f"({el / max(1, it - start + 1):.2f}s/it)")
                 if rec_eval is not None and it % eval_every == 0:
+                    eval_count += 1
                     rec, psnr = rec_eval(state.ema if acfg.use_ema else state.gen,
                                          eval_batch)
                     scalars = {"rec_psnr": float(psnr), "ada_p": float(state.ada_p)}
@@ -244,7 +248,13 @@ class FrameAutoencoderTrainer:
                         rec_raw, psnr_raw = rec_eval(state.gen, eval_batch)
                         scalars["rec_psnr_raw"] = float(psnr_raw)
                     logger.log_scalars(scalars, it, prefix="qvid_eval/")
-                    if snapshot_every and it % snapshot_every == 0:
+                    # snapshots need the eval outputs, so the cadence rides
+                    # the eval grid: every round(snapshot_every/eval_every)-th
+                    # eval (exact when the two align, e.g. 100/25; a
+                    # non-multiple snapshot_every no longer silently never
+                    # fires)
+                    if snapshot_every and (eval_count - 1) % max(
+                            1, round(snapshot_every / eval_every)) == 0:
                         _save_snapshot(os.path.join(log_path, "snapshots"), it,
                                        np.asarray(eval_batch[:8]), np.asarray(rec[:8]))
                         if rec_raw is not None:

@@ -125,7 +125,9 @@ class StftAutoencoderTrainer:
         self.model = StftModel(cfg.stft)
         # reference stft recon loss is MSE + VGG (`stft_model.py:84-110`)
         if vgg_npz and os.path.exists(vgg_npz):
-            vgg_params = vgg_mod.load_vgg19_npz(vgg_npz)
+            # auto-detect the backbone (vgg19 from export_vgg, vgg16 from
+            # export_lpips) instead of pinning vgg19
+            vgg_params = vgg_mod.load_vgg_npz(vgg_npz)[0]
         else:
             vgg_mod.warn_fallback("the STFT perceptual loss")
             vgg_params = vgg_mod.init_random(jax.random.PRNGKey(cfg.seed))

@@ -50,13 +50,15 @@ class PreemptionGuard:
         self._prev = {}
         self._installed = False
         self._on_trigger = on_trigger
+        self._sync_calls = 0
+        self._last_global = False
 
     # -- flag API -----------------------------------------------------
     @property
     def triggered(self) -> bool:
         return self._triggered.is_set()
 
-    def sync_triggered(self) -> bool:
+    def sync_triggered(self, every: int = 10) -> bool:
         """Cross-host agreement on the flag: on a multi-process pod the VM
         delivers SIGTERM to each host at slightly different times, so a
         purely-local check would have hosts break out of the training loop
@@ -64,17 +66,28 @@ class PreemptionGuard:
         next step's gradient all-reduce. Global-OR of the local flags at the
         step boundary makes every host exit (and checkpoint) at the same
         iteration. Single-process: identical to :attr:`triggered`, no
-        collective issued."""
+        collective issued.
+
+        The allgather is a host-side barrier, so multi-process runs only
+        issue it on every ``every``-th call (all hosts call this once per
+        step, so the schedule agrees globally); between scheduled syncs the
+        last GLOBAL value is returned — never the local flag, which is what
+        would desynchronize exits. Preemption exit is thereby delayed by at
+        most ``every - 1`` steps."""
         import jax
 
         if jax.process_count() == 1:
             return self.triggered
+        self._sync_calls += 1
+        if self._last_global or (self._sync_calls - 1) % max(1, every):
+            return self._last_global
         import numpy as _np
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(
             _np.asarray([self.triggered], _np.int32))
-        return bool(_np.asarray(flags).any())
+        self._last_global = bool(_np.asarray(flags).any())
+        return self._last_global
 
     def trigger(self, signum=None):
         """Latch the flag (idempotent). Called by the signal handler; may

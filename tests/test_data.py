@@ -262,6 +262,64 @@ def test_download_kinetics_injected(tmp_path):
     assert (out / "tmp" / "ddd_0_2.mp4").read_bytes() == b"rawddd"
 
 
+def test_download_kinetics_atomic_failures(tmp_path):
+    """Interrupted fetches/trims must not poison the cache: a trim that
+    fails after a partial write, or a fetch that dies mid-download, leaves
+    no published/raw file, and a later healthy rerun completes the clip
+    instead of reporting it 'cached' (matches the downloader's resume
+    semantics, `data/scripts/download_kinetics.py`)."""
+    from ccvs_tpu.data.prep import download_kinetics
+
+    csv_path = tmp_path / "links.csv"
+    csv_path.write_text("label,youtube_id,time_start,time_end\njump,aaa,2,5\n")
+    out = tmp_path / "videos"
+
+    def fetch(vid, path):
+        with open(path, "wb") as f:
+            f.write(b"raw" + vid.encode())
+
+    def bad_trim(src, dst, start, dur):
+        with open(dst, "wb") as g:
+            g.write(b"PARTIAL")  # e.g. ffmpeg killed mid-encode
+        return False
+
+    counts = download_kinetics(str(csv_path), str(out), trim=True, num_jobs=1,
+                               fetch_fn=fetch, trim_fn=bad_trim)
+    assert counts == {"failed": 1}
+    assert not (out / "jump" / "aaa_2_3.mp4").exists()  # no partial published
+
+    def good_trim(src, dst, start, dur):
+        with open(src, "rb") as f, open(dst, "wb") as g:
+            g.write(f.read() + f"|{start:g}+{dur:g}".encode())
+        return True
+
+    counts = download_kinetics(str(csv_path), str(out), trim=True, num_jobs=1,
+                               fetch_fn=fetch, trim_fn=good_trim)
+    assert counts == {"ok": 1}
+    assert (out / "jump" / "aaa_2_3.mp4").read_bytes() == b"rawaaa|2+3"
+
+    # fetch dying mid-write leaves no raw: a sibling row with the same
+    # youtube_id must re-fetch, not trim a truncated file
+    csv2 = tmp_path / "links2.csv"
+    csv2.write_text("label,youtube_id,time_start,time_end\n"
+                    "jump,eee,0,2\njump,eee,3,5\n")
+    calls = []
+
+    def flaky_fetch(vid, path):
+        calls.append(vid)
+        with open(path, "wb") as f:
+            f.write(b"trunc")
+        if len(calls) == 1:
+            raise OSError("network drop mid-download")
+        with open(path, "wb") as f:
+            f.write(b"raw" + vid.encode())
+
+    counts = download_kinetics(str(csv2), str(out), trim=True, num_jobs=1,
+                               fetch_fn=flaky_fetch, trim_fn=good_trim)
+    assert counts == {"failed": 1, "ok": 1}
+    assert (out / "jump" / "eee_3_2.mp4").read_bytes() == b"raweee|3+2"
+
+
 def test_load_frame_tolerates_truncated_jpeg(tmp_path):
     """Reference sets PIL LOAD_TRUNCATED_IMAGES (`data/base_dataset.py:8-9`);
     a frame file cut mid-write must decode, not kill a long training run."""

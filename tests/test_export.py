@@ -107,3 +107,23 @@ def test_export_i3d_translate_roundtrip(tmp_path):
     ref = model.apply(variables, jnp.zeros((1, 16, 64, 64, 3)))
     np.testing.assert_allclose(np.asarray(emb), np.asarray(ref), rtol=1e-5, atol=1e-6)
     assert emb.shape == (1, 1024)
+
+
+def test_vgg16_params_autodetect_in_perceptual_loss():
+    """A vgg16 npz (export_lpips backbone) must flow through the trainers'
+    perceptual loss: features/vgg_loss auto-detect the arch from the params
+    dict instead of assuming vgg19 (reference perceptual is vgg19-only,
+    `modules/perceptual.py:6-52`; LPIPS rides vgg16,
+    `tools/pytorch_metrics/metrics.py:12`)."""
+    from ccvs_tpu.nn import vgg as vgg_mod
+
+    key = jax.random.PRNGKey(0)
+    for arch, n_conv in (("vgg16", 13), ("vgg19", 16)):
+        params = vgg_mod.init_random(key, arch=arch)
+        assert len(params) == n_conv
+        assert vgg_mod.params_arch(params) == arch
+        x = jnp.zeros((1, 32, 32, 3))
+        feats = vgg_mod.features(params, x)  # no arch passed: auto-detect
+        assert len(feats) == 5
+        loss = vgg_mod.vgg_loss(params, x, jnp.ones_like(x) * 0.5)
+        assert np.isfinite(float(loss))
