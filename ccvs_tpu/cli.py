@@ -305,10 +305,26 @@ def _generate(args):
         out = gen.generate(params, sub, vid, stft=dev.get("stft"),
                            vid_lbl=dev.get("vid_lbl"), rec=True,
                            fake=not args.rec_only, keep_state=args.keep_state)
-        gen.save_batch(result_path, i, cfg.data.batch_size_vid, vid, out,
-                       fps=cfg.data.fps, imagenet_norm=cfg.data.imagenet_norm,
-                       dataset=cfg.data.dataset,
-                       vid_ids=batch.get("vid_id") if args.include_id else None)
+        if mesh is not None and jax.process_count() > 1:
+            # multi-host: global outputs are not fully addressable from one
+            # process — each host writes only its own rows, file ids derived
+            # from the GLOBAL row index (union over hosts = full batch).
+            from ccvs_tpu.parallel.mesh import host_local_rows
+
+            real_rows, row_ids = host_local_rows(vid)
+            out_local = {k: host_local_rows(v)[0] for k, v in out.items()}
+            ids = (batch["vid_id"] if args.include_id
+                   else cfg.data.batch_size_vid * i + row_ids)
+            gen.save_batch(result_path, i, cfg.data.batch_size_vid, real_rows,
+                           out_local, fps=cfg.data.fps,
+                           imagenet_norm=cfg.data.imagenet_norm,
+                           dataset=cfg.data.dataset, vid_ids=ids)
+        else:
+            gen.save_batch(result_path, i, cfg.data.batch_size_vid, vid, out,
+                           fps=cfg.data.fps,
+                           imagenet_norm=cfg.data.imagenet_norm,
+                           dataset=cfg.data.dataset,
+                           vid_ids=batch.get("vid_id") if args.include_id else None)
     print(f"wrote results to {result_path}")
 
 

@@ -138,6 +138,14 @@ class AutoencoderConfig:
     # of the warp gathers were built and gate-measured SLOWER on v5e
     # (runs_r3/dec_quant_gate.json) and removed — see scripts/PERF_NOTES.md.
     shared_x_split: bool = True
+    # static context-count buckets for the doubly-AR rollout: each generated
+    # frame decodes against the smallest bucket >= its true context count
+    # (reference passes only `dt <= curr` slots, `quantized_video_model.py:872`,
+    # so slicing is exact); `skip_memory` is always the last bucket. Each
+    # bucket is one compiled scan program + one dispatch per rollout, so
+    # finer sets trade ~29 ms dispatch + a compile against ~17-22 ms per
+    # skipped slot-frame. Override per-run with CCVS_DECODE_BUCKETS="2,4,8,12".
+    decode_buckets: Tuple[int, ...] = (2, 4, 8)
 
     # layout twins
     use_layout: bool = False

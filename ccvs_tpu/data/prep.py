@@ -246,15 +246,30 @@ def download_kinetics(
                 os.replace(part, raw)
         if trim:
             cut = os.path.join(tmp_dir, f"{vid}_{start:g}_{dur:g}.cut.mp4")
-            ok = trim_fn(raw, cut, start, dur)
+            try:
+                ok = trim_fn(raw, cut, start, dur)
+            except Exception as e:  # a bad clip must not abort the batch
+                print(f"trim failed: {vid} ({e})")
+                ok = False
             if not ok or not os.path.exists(cut):
-                print(f"trim failed: {vid}")
+                if ok:
+                    print(f"trim failed: {vid}")
                 if os.path.exists(cut):
                     os.unlink(cut)
                 return "failed"
             os.replace(cut, final)
         else:
-            os.replace(raw, final)
+            # COPY the raw into place (link when possible) instead of moving
+            # it: other rows (segments) of the same youtube_id still need the
+            # shared raw download. Publish by atomic rename, serialized by
+            # the per-id lock so two segments can't race the same .pub path.
+            with fetch_locks[vid]:
+                pub = raw + ".pub"
+                try:
+                    os.link(raw, pub)
+                except OSError:
+                    shutil.copyfile(raw, pub)
+                os.replace(pub, final)
         return "ok"
 
     with ThreadPoolExecutor(max_workers=max(1, num_jobs)) as ex:

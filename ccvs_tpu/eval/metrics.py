@@ -75,7 +75,7 @@ class LPIPS:
     def __init__(self, vgg_npz: Optional[str] = None, key=None):
         self.lins = None
         self.arch = "vgg19"
-        if vgg_npz and os.path.exists(vgg_npz):
+        if vgg_mod.check_npz(vgg_npz):
             self.params, self.arch, self.lins = vgg_mod.load_vgg_npz(vgg_npz)
         else:
             vgg_mod.warn_fallback("LPIPS")

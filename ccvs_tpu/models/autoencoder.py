@@ -15,6 +15,7 @@ TPU-native re-implementation of the inference surface of `QVidModel`
 Training losses live in `ccvs_tpu.train.ae_losses`.
 """
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
@@ -231,10 +232,24 @@ class FrameAutoencoder:
 
     # ---------------- video decode (doubly-AR rollout) ----------------
 
-    @staticmethod
-    def _bucket(k: int, m: int) -> int:
-        """Smallest of {2, 4, 8, m} >= k (static context-count buckets)."""
-        for b in (2, 4, 8):
+    def _bucket(self, k: int, m: int) -> int:
+        """Smallest configured bucket >= k (``cfg.decode_buckets``, with
+        ``skip_memory`` as the implicit last bucket; CCVS_DECODE_BUCKETS env
+        overrides for within-run A/B without touching the config)."""
+        env = os.environ.get("CCVS_DECODE_BUCKETS")
+        if env:
+            try:
+                buckets = tuple(int(s) for s in env.split(",") if s.strip())
+            except ValueError as e:
+                raise ValueError(
+                    f"CCVS_DECODE_BUCKETS={env!r} is not a comma-separated "
+                    "list of ints (e.g. '2,4,8,12')"
+                ) from e
+            if any(b < 1 for b in buckets):
+                raise ValueError(f"CCVS_DECODE_BUCKETS={env!r}: buckets must be >= 1")
+        else:
+            buckets = self.cfg.decode_buckets
+        for b in sorted(buckets):
             if k <= b <= m:
                 return b
         return m

@@ -54,6 +54,24 @@ def _layer_plan(arch: str = "vgg19"):
     return plan[:30]
 
 
+def check_npz(path: Optional[str]) -> bool:
+    """True iff ``path`` names an existing npz; False when no path was given
+    (callers then use the random-filter fallback). An explicitly-given but
+    MISSING path raises instead: a typo must not silently send a multi-hour
+    training/eval run down the random-filter path (mirrors the i3d handling,
+    `eval/fvd.py:197-200`)."""
+    import os
+
+    if not path:
+        return False
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"vgg npz {path!r} does not exist -- pass a real exported npz "
+            "or omit the flag to opt into the random-filter fallback"
+        )
+    return True
+
+
 def warn_fallback(context: str):
     """Shout when a caller falls back to random filters, so nobody mistakes
     the resulting numbers for pretrained-VGG ones."""

@@ -91,3 +91,28 @@ def put_batch(mesh: Optional[Mesh], batch):
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def host_local_rows(arr):
+    """This host's rows of a batch-sharded global array, plus their global
+    row indices.
+
+    ``np.asarray`` on a cross-host global array raises (not fully
+    addressable), so multi-host writers — e.g. the generate CLI's
+    ``save_batch`` (reference per-rank results,
+    `tools/engine.py:81-101` + `helpers/generator.py:199-230`) — persist only
+    the rows that live on their own devices, naming files by the returned
+    GLOBAL row index so the union over hosts is the full batch with no
+    duplicates. Shards replicated across a non-data axis are deduped by
+    their global row offset. Single process: identity (all rows, 0..B-1).
+    """
+    seen = {}
+    for s in arr.addressable_shards:
+        start = (s.index[0].start or 0) if arr.ndim >= 1 else 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    starts = sorted(seen)
+    rows = np.concatenate([seen[s] for s in starts], axis=0)
+    ids = np.concatenate(
+        [np.arange(s, s + seen[s].shape[0]) for s in starts])
+    return rows, ids

@@ -48,7 +48,7 @@ class FrameAutoencoderTrainer:
         self.losses = AELosses(acfg, self.ae, di=self.di, dv=self.dv, df=self.df)
         key = jax.random.PRNGKey(cfg.seed)
         if acfg.use_vgg_img or acfg.use_vgg_vid:
-            if vgg_npz and os.path.exists(vgg_npz):
+            if vgg_mod.check_npz(vgg_npz):
                 # auto-detect the backbone: export_vgg ships vgg19,
                 # export_lpips ships vgg16 — both are valid here
                 self.vgg_params = vgg_mod.load_vgg_npz(vgg_npz)[0]

@@ -124,7 +124,7 @@ class StftAutoencoderTrainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.model = StftModel(cfg.stft)
         # reference stft recon loss is MSE + VGG (`stft_model.py:84-110`)
-        if vgg_npz and os.path.exists(vgg_npz):
+        if vgg_mod.check_npz(vgg_npz):
             # auto-detect the backbone (vgg19 from export_vgg, vgg16 from
             # export_lpips) instead of pinning vgg19
             vgg_params = vgg_mod.load_vgg_npz(vgg_npz)[0]

@@ -21,13 +21,38 @@ def test_async_save_is_donation_safe(tmp_path):
     ckpt = CheckpointManager(str(tmp_path), async_save=True)
     tree = _tree(3.0)
     ckpt.save("m", 1, tree, latest=True)
-    # simulate the trainer's next step: donate the saved arrays' buffers
+    # simulate the trainer's next step: donate the saved arrays' buffers.
+    # NOTE: donation is a no-op on the CPU test backend, so this clobber
+    # alone cannot catch a deferred-copy regression — the numpy in-place
+    # variant below is the CPU-meaningful check.
     clobber = jax.jit(lambda x: x * 0 + 9.0, donate_argnums=0)
     tree = {k: (clobber(v) if v.dtype == jnp.float32 else v) for k, v in tree.items()}
     ckpt.wait()
     out = ckpt.load("m", "latest", target=_tree(0.0))
     assert float(np.asarray(out["w"]).max()) == 3.0  # snapshot, not clobbered
     assert float(np.asarray(out["b"]).min()) == 3.0
+
+
+def test_async_save_snapshots_before_backgrounding(tmp_path):
+    """save() must copy values out BEFORE returning: mutating the source
+    array in place while the write is in flight is exactly what a donated
+    buffer reuse does on TPU, and (unlike jit donation) an in-place numpy
+    write is visible on the CPU test backend — an orbax that deferred the
+    host copy to the background thread would persist 9.0 here."""
+    ckpt = CheckpointManager(str(tmp_path), async_save=True)
+    tree = {"w": np.full((256, 256), 3.0, np.float32),
+            "b": np.full((64,), 3.0, np.float32),
+            "step": np.asarray(1, np.int32)}
+    ckpt.save("m", 1, tree, latest=True)
+    tree["w"][:] = 9.0
+    tree["b"][:] = 9.0
+    ckpt.wait()
+    target = {"w": np.zeros((256, 256), np.float32),
+              "b": np.zeros((64,), np.float32),
+              "step": np.asarray(0, np.int32)}
+    out = ckpt.load("m", "latest", target=target)
+    assert float(np.asarray(out["w"]).max()) == 3.0
+    assert float(np.asarray(out["b"]).max()) == 3.0
 
 
 def test_async_rolling_latest(tmp_path):

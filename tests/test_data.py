@@ -319,6 +319,39 @@ def test_download_kinetics_atomic_failures(tmp_path):
     assert counts == {"failed": 1, "ok": 1}
     assert (out / "jump" / "eee_3_2.mp4").read_bytes() == b"raweee|3+2"
 
+    # a trim_fn that RAISES (e.g. no ffmpeg on PATH) counts that clip failed
+    # instead of aborting the whole batch
+    def raising_trim(src, dst, start, dur):
+        raise FileNotFoundError("ffmpeg")
+
+    counts = download_kinetics(str(csv_path), str(out), trim=True, num_jobs=1,
+                               fetch_fn=fetch, trim_fn=raising_trim)
+    assert counts == {"cached": 1}  # aaa_2_3 already published above
+    (out / "jump" / "aaa_2_3.mp4").unlink()
+    counts = download_kinetics(str(csv_path), str(out), trim=True, num_jobs=1,
+                               fetch_fn=fetch, trim_fn=raising_trim)
+    assert counts == {"failed": 1}
+
+    # trim=False with several segments sharing one youtube_id: the raw
+    # download must be fetched ONCE and published (copied) to every final —
+    # moving it out of scratch would force a re-download per segment
+    csv3 = tmp_path / "links3.csv"
+    csv3.write_text("label,youtube_id,time_start,time_end\n"
+                    "jump,fff,0,2\njump,fff,3,5\n")
+    calls2 = []
+
+    def counting_fetch(vid, path):
+        calls2.append(vid)
+        with open(path, "wb") as f:
+            f.write(b"raw" + vid.encode())
+
+    counts = download_kinetics(str(csv3), str(out), trim=False, num_jobs=2,
+                               fetch_fn=counting_fetch, trim_fn=good_trim)
+    assert counts == {"ok": 2}
+    assert calls2 == ["fff"]  # one fetch for both segments
+    assert (out / "jump" / "fff_0_2.mp4").read_bytes() == b"rawfff"
+    assert (out / "jump" / "fff_3_2.mp4").read_bytes() == b"rawfff"
+
 
 def test_load_frame_tolerates_truncated_jpeg(tmp_path):
     """Reference sets PIL LOAD_TRUNCATED_IMAGES (`data/base_dataset.py:8-9`);

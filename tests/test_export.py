@@ -127,3 +127,21 @@ def test_vgg16_params_autodetect_in_perceptual_loss():
         assert len(feats) == 5
         loss = vgg_mod.vgg_loss(params, x, jnp.ones_like(x) * 0.5)
         assert np.isfinite(float(loss))
+
+
+def test_explicit_missing_vgg_npz_raises(tmp_path):
+    """A typo'd --vgg-npz must raise, not silently train/score with random
+    filters (same contract as eval/fvd.py's i3d_npz handling); no path at
+    all still opts into the loud random fallback."""
+    import pytest
+
+    from ccvs_tpu.nn import vgg as vgg_mod
+
+    assert vgg_mod.check_npz(None) is False
+    assert vgg_mod.check_npz("") is False
+    with pytest.raises(FileNotFoundError):
+        vgg_mod.check_npz(str(tmp_path / "nope.npz"))
+    with pytest.raises(FileNotFoundError):
+        from ccvs_tpu.eval.metrics import LPIPS
+
+        LPIPS(vgg_npz=str(tmp_path / "nope.npz"))

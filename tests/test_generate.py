@@ -225,24 +225,23 @@ def test_generate_deblurring(rng):
 
 
 def test_decode_video_bucketing_invariance(rng):
-    """Bucketed context slicing must not change the rollout output."""
+    """Bucketed context slicing must not change the rollout output, for any
+    bucket set (the slots sliced away are exactly the `dt > curr` ones the
+    reference never passes, `quantized_video_model.py:872`)."""
+    import dataclasses
+
     ae, tr, params = _models()
     vid = jnp.asarray(rng.randn(2, 4, 8, 8, 3).astype(np.float32)) * 0.1
     enc = ae.encode(params["ae"], vid)
     out_bucketed = ae.decode_video(params["ae"], enc["code"], ctx_frames=vid[:, :1], n_ctx=1)
-    # force full-slot programs by monkeypatching the bucket fn. NOTE: class
-    # attribute access unwraps the staticmethod descriptor, so the restore
-    # must re-wrap it — assigning the bare function back would turn _bucket
-    # into a self-binding method for every later test in the session.
-    orig = type(ae).__dict__["_bucket"]
-    try:
-        type(ae)._bucket = staticmethod(lambda k, m: m)
-        ae2 = type(ae)(ae.cfg, dtype=jnp.float32)
-        out_full = ae2.decode_video(params["ae"], enc["code"], ctx_frames=vid[:, :1], n_ctx=1)
-    finally:
-        type(ae)._bucket = orig
-    np.testing.assert_allclose(np.asarray(out_bucketed), np.asarray(out_full),
-                               rtol=1e-4, atol=1e-5)
+    # empty bucket set -> every frame runs the full-slot program; a finer
+    # set -> more, smaller programs. All must agree.
+    for buckets in ((), (1, 2, 3)):
+        ae2 = type(ae)(dataclasses.replace(ae.cfg, decode_buckets=buckets),
+                       dtype=jnp.float32)
+        out_other = ae2.decode_video(params["ae"], enc["code"], ctx_frames=vid[:, :1], n_ctx=1)
+        np.testing.assert_allclose(np.asarray(out_bucketed), np.asarray(out_other),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_generate_beam_with_state_tokens(rng):

@@ -319,3 +319,19 @@ def test_transformer_trainer_resume(tmp_path):
     a = np.concatenate([np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(s1.params)])
     b = np.concatenate([np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(s2.params)])
     assert not np.allclose(a, b)
+
+
+def test_host_local_rows_roundtrip():
+    """host_local_rows on a single process returns every row with its global
+    index (the multi-host generate CLI writes per-host rows named by these
+    ids; on one process it must reduce to the identity)."""
+    import numpy as np
+
+    from ccvs_tpu.parallel.mesh import host_local_rows, make_mesh, put_batch
+
+    mesh = make_mesh(n_devices=8)
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    dev = put_batch(mesh, {"x": x})["x"]
+    rows, ids = host_local_rows(dev)
+    np.testing.assert_array_equal(ids, np.arange(16))
+    np.testing.assert_array_equal(rows, x)
