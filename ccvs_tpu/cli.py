@@ -261,10 +261,11 @@ def _generate(args):
         mesh = _mesh(args)
     if mesh is not None:
         n_data = mesh.shape["data"]
-        if cfg.data.batch_size_vid % n_data:
+        eff_batch = cfg.data.batch_size_vid * cfg.data.batch_size_valid_mult
+        if eff_batch % n_data:
             raise SystemExit(
                 f"--n-devices: the data-axis size {n_data} must divide "
-                f"batch_size_vid {cfg.data.batch_size_vid}")
+                f"batch_size_vid x batch_size_valid_mult = {eff_batch}")
 
     ae = FrameAutoencoder(cfg.ae)
     tr = TokenTransformer(cfg.gpt)
@@ -281,7 +282,10 @@ def _generate(args):
 
     gen = VideoGenerator(cfg, ae, tr, state_model, stft_model)
     ds = create_dataset(cfg.data, phase="valid", load_vid=True)
-    loader = PrefetchLoader(ds, cfg.data.batch_size_vid, shuffle=True,
+    # reference applies the valid batch multiplier + optional valid shuffle
+    # at the generator's loader (`helpers/generator.py:240`, `options.py:55,91`)
+    gen_batch = cfg.data.batch_size_vid * cfg.data.batch_size_valid_mult
+    loader = PrefetchLoader(ds, gen_batch, shuffle=cfg.data.shuffle_valid,
                             num_workers=cfg.data.num_workers, drop_last=True)
     result_path = os.path.join(cfg.save_path, "results", cfg.name)
     rng = jax.random.PRNGKey(cfg.seed)
@@ -314,13 +318,13 @@ def _generate(args):
             real_rows, row_ids = host_local_rows(vid)
             out_local = {k: host_local_rows(v)[0] for k, v in out.items()}
             ids = (batch["vid_id"] if args.include_id
-                   else cfg.data.batch_size_vid * i + row_ids)
-            gen.save_batch(result_path, i, cfg.data.batch_size_vid, real_rows,
+                   else gen_batch * i + row_ids)
+            gen.save_batch(result_path, i, gen_batch, real_rows,
                            out_local, fps=cfg.data.fps,
                            imagenet_norm=cfg.data.imagenet_norm,
                            dataset=cfg.data.dataset, vid_ids=ids)
         else:
-            gen.save_batch(result_path, i, cfg.data.batch_size_vid, vid, out,
+            gen.save_batch(result_path, i, gen_batch, vid, out,
                            fps=cfg.data.fps,
                            imagenet_norm=cfg.data.imagenet_norm,
                            dataset=cfg.data.dataset,

@@ -45,6 +45,13 @@ class DataConfig:
     # batching
     batch_size_img: int = 1
     batch_size_vid: int = 1
+    # validation/generation batches are this multiple of the train batch
+    # (reference `--batch_size_valid_mult`, `options.py:55`, applied at
+    # `helpers/generator.py:240` / `transformer_trainer.py:99`)
+    batch_size_valid_mult: int = 1
+    # shuffle the validation split too (reference `--shuffle_valid`,
+    # `options.py:91`; the shipped save_videos scripts pass it)
+    shuffle_valid: bool = True
     n_consecutive_img: int = 1
     img_out_of_n: int = 1
 
