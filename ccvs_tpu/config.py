@@ -79,6 +79,10 @@ class DataConfig:
     # options.py:72-76)
     num_folds_train: "Optional[int]" = None
     init_fold_train: int = 0
+    # pick a random fold per cycle instead of round-robin (reference
+    # --random_fold_train, set by the shipped kinetics scripts;
+    # `helpers/frame_autoencoder_trainer.py:108`)
+    random_fold_train: bool = False
 
     # state / audio
     load_state: bool = False
@@ -539,6 +543,10 @@ def kinetics_config() -> Config:
             resize_center_crop_img=256,
             no_h_flip=True,
             batch_size_vid=16,
+            # reference trains kinetics over 100 folds, sampled randomly per
+            # cycle (`scripts/kinetics/train_frame_autoencoder.sh:9`)
+            num_folds_train=100,
+            random_fold_train=True,
         ),
         ae=AutoencoderConfig(
             necf=64,

@@ -7,6 +7,7 @@ prefetch queue keeps batches ready. A C++ decode path can be slotted in via
 """
 
 import queue
+import random
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
@@ -129,13 +130,20 @@ class FoldCycler:
     bounded for datasets too large to index at once)."""
 
     def __init__(self, make_loader: Callable[[int], "PrefetchLoader"],
-                 num_folds: int, init_fold: int = 0):
+                 num_folds: int, init_fold: int = 0, random_fold: bool = False,
+                 seed: int = 0):
         self.make_loader = make_loader
         self.num_folds = num_folds
         self.fold = init_fold
+        # reference --random_fold_train (set by every shipped kinetics
+        # script): pick a random fold per cycle instead of round-robin
+        # (`helpers/frame_autoencoder_trainer.py:108`)
+        self.random_fold = random_fold
+        self._rng = random.Random(seed)
 
     def __iter__(self):
         while True:
             loader = self.make_loader(self.fold)
             yield from loader
-            self.fold = (self.fold + 1) % self.num_folds
+            self.fold = (self._rng.randrange(self.num_folds) if self.random_fold
+                         else (self.fold + 1) % self.num_folds)

@@ -102,7 +102,9 @@ class FrameAutoencoderTrainer:
 
         if cfg.data.num_folds_train:
             img_loader = FoldCycler(make_img_loader, cfg.data.num_folds_train,
-                                    cfg.data.init_fold_train)
+                                    cfg.data.init_fold_train,
+                                    random_fold=cfg.data.random_fold_train,
+                                    seed=cfg.seed)
         else:
             img_loader = make_img_loader()
         vid_loader = None

@@ -371,3 +371,28 @@ def test_load_frame_tolerates_truncated_jpeg(tmp_path):
     p.write_bytes(data[: len(data) - len(data) // 4])  # drop the tail
     out = load_frame(str(p))
     assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+
+
+def test_fold_cycler_random_mode():
+    """random_fold_train picks folds at random per cycle (reference
+    `helpers/frame_autoencoder_trainer.py:108`, set by every shipped
+    kinetics script); round-robin stays the default."""
+    from ccvs_tpu.data import FoldCycler
+
+    folds_seen = []
+
+    def make_loader(fold):
+        folds_seen.append(fold)
+        return [fold]  # one batch per fold
+
+    it = iter(FoldCycler(make_loader, num_folds=5, init_fold=0))
+    seq = [next(it) for _ in range(10)]
+    assert seq == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4]  # round-robin default
+
+    folds_seen.clear()
+    it = iter(FoldCycler(make_loader, num_folds=5, random_fold=True, seed=0))
+    seq = [next(it) for _ in range(25)]
+    assert seq[0] == 0  # init fold honored
+    assert set(seq) <= set(range(5)) and len(set(seq)) > 2  # spreads out
+    it2 = iter(FoldCycler(make_loader, num_folds=5, random_fold=True, seed=0))
+    assert [next(it2) for _ in range(25)] == seq  # seeded = reproducible
