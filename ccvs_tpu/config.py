@@ -376,6 +376,13 @@ class Config:
     gpt: TransformerConfig = field(default_factory=TransformerConfig)
     state: StateConfig = field(default_factory=StateConfig)
     stft: StftConfig = field(default_factory=StftConfig)
+    # optional second dataset for the trainers' OTHER batch type (reference
+    # `--use_extra_dataset` + the `xb_` flag group, `options.py:24-32`,
+    # `helpers/frame_autoencoder_trainer.py:84`): when set, the frame-AE /
+    # STFT trainers draw their VIDEO batches from this config while image
+    # batches keep `data` (e.g. training the image path on a large image
+    # set and the rollout path on the video set). None = single dataset.
+    extra_data: Optional[DataConfig] = None
 
     # experiment bookkeeping
     name: str = "experiment"
@@ -416,10 +423,10 @@ class Config:
             return dc_type(**kw)
 
         groups = {"data": DataConfig, "ae": AutoencoderConfig, "gpt": TransformerConfig,
-                  "state": StateConfig, "stft": StftConfig}
+                  "state": StateConfig, "stft": StftConfig, "extra_data": DataConfig}
         kw = {}
         for name, typ in groups.items():
-            if name in raw:
+            if raw.get(name) is not None:
                 kw[name] = build(typ, raw[name])
         for f in dataclasses.fields(cls):
             if f.name not in groups and f.name in raw:

@@ -108,16 +108,20 @@ class FrameAutoencoderTrainer:
         else:
             img_loader = make_img_loader()
         vid_loader = None
-        if cfg.data.is_seq:
+        # video batches may come from a second dataset (reference
+        # --use_extra_dataset: `helpers/frame_autoencoder_trainer.py:84`
+        # swaps in the xb_-prefixed opts for the "vid" data type)
+        vid_src = cfg.extra_data if cfg.extra_data is not None else cfg.data
+        if vid_src.is_seq:
             import dataclasses
 
             # AE training uses its own (short) rollout length — e.g. 4 frames
             # for BAIR (`scripts/bairhd/train_frame_autoencoder.sh: --vid_len 4`)
             # while generation clips use data.vid_len (16).
-            vid_data_cfg = dataclasses.replace(cfg.data, vid_len=cfg.ae.vid_len)
+            vid_data_cfg = dataclasses.replace(vid_src, vid_len=cfg.ae.vid_len)
             vid_ds = create_dataset(vid_data_cfg, phase="train", load_vid=True)
             vid_loader = PrefetchLoader(
-                vid_ds, cfg.data.batch_size_vid, num_workers=cfg.data.num_workers,
+                vid_ds, vid_src.batch_size_vid, num_workers=vid_src.num_workers,
                 seed=cfg.seed + 1,
             )
         return img_loader, vid_loader

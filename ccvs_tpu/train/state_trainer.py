@@ -157,9 +157,12 @@ class StftAutoencoderTrainer:
         from ccvs_tpu.parallel.mesh import replicate_tree
 
         state = replicate_tree(self.mesh, state)
-        ds = create_dataset(cfg.data, phase="train", load_vid=True)
-        loader = PrefetchLoader(ds, cfg.data.batch_size_vid,
-                                num_workers=cfg.data.num_workers)
+        # vid-type batches may come from a second dataset (reference
+        # --use_extra_dataset, `helpers/stft_autoencoder_trainer.py:67`)
+        vid_src = cfg.extra_data if cfg.extra_data is not None else cfg.data
+        ds = create_dataset(vid_src, phase="train", load_vid=True)
+        loader = PrefetchLoader(ds, vid_src.batch_size_vid,
+                                num_workers=vid_src.num_workers)
         it_data = iter(cycle_loader(loader))
         best = ckpt.best_metric("stft") if resume else float("inf")
         preempted = False

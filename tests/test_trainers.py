@@ -84,3 +84,27 @@ def test_transformer_trainer_runs(tmp_path):
     tr = TransformerTrainer(cfg, ae_params, dtype=jnp.float32)
     state = tr.run(n_iter=2)
     assert int(state.step) == 2
+
+
+def test_ae_trainer_extra_dataset_vid_loader(tmp_path):
+    """Config.extra_data routes the trainer's VIDEO batches to a second
+    dataset while image batches keep cfg.data (reference --use_extra_dataset
+    + xb_ opts, `helpers/frame_autoencoder_trainer.py:84`)."""
+    import dataclasses
+
+    from ccvs_tpu.train.ae_trainer import FrameAutoencoderTrainer
+
+    cfg = _cfg(str(tmp_path))
+    extra = dataclasses.replace(cfg.data, batch_size_vid=1)
+    cfg = cfg.replace(extra_data=extra)
+    tr = FrameAutoencoderTrainer(cfg, dtype=jnp.float32)
+    img_loader, vid_loader = tr.make_loaders()
+    assert vid_loader is not None
+    vb = next(iter(vid_loader))
+    assert vb["vid"].shape[0] == 1  # extra dataset's batch_size_vid, not data's
+    # config JSON round-trips the nested optional group
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2.extra_data is not None
+    assert cfg2.extra_data.batch_size_vid == 1
+    cfg3 = Config.from_json(_cfg(str(tmp_path)).to_json())
+    assert cfg3.extra_data is None
