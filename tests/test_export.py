@@ -118,9 +118,14 @@ def test_vgg16_params_autodetect_in_perceptual_loss():
     from ccvs_tpu.nn import vgg as vgg_mod
 
     key = jax.random.PRNGKey(0)
-    for arch, n_conv in (("vgg16", 13), ("vgg19", 16)):
+    # Both archs truncated at features[0:30] hold exactly 13 convs; what
+    # distinguishes them is the torchvision feature INDEX of the convs
+    # (vgg19 has a conv at features[16], vgg16 a pool there and a conv at 17).
+    for arch, marker, absent in (("vgg16", "conv17", "conv16"),
+                                 ("vgg19", "conv16", "conv17")):
         params = vgg_mod.init_random(key, arch=arch)
-        assert len(params) == n_conv
+        assert len(params) == 13
+        assert marker in params and absent not in params
         assert vgg_mod.params_arch(params) == arch
         x = jnp.zeros((1, 32, 32, 3))
         feats = vgg_mod.features(params, x)  # no arch passed: auto-detect
