@@ -1,4 +1,4 @@
-"""bench.py serving-mode gate: int8 AR decode only on a passing artifact."""
+"""bench.py serving-mode gate: int8 AR decode only on a passing TPU artifact."""
 
 import json
 
@@ -10,6 +10,7 @@ def bench_mod(tmp_path, monkeypatch):
     import bench
 
     monkeypatch.setattr(bench, "GPT_GATE", str(tmp_path / "gpt.json"))
+    monkeypatch.setattr(bench, "GPT_GATE_FALLBACKS", ())
     monkeypatch.delenv("CCVS_BENCH_SERVE", raising=False)
     return bench
 
@@ -27,6 +28,7 @@ def test_no_gate_exact(bench_mod):
 def test_passing_gate_enables_int8(bench_mod):
     _write(bench_mod.GPT_GATE, {
         "trained_weights": True, "token_agreement": 0.991, "topk_tv_mean": 0.012,
+        "backend": "tpu",
     })
     gpt_int8, info = bench_mod.serving_mode()
     assert gpt_int8 is True
@@ -37,6 +39,7 @@ def test_passing_gate_enables_int8(bench_mod):
 def test_failing_quality_stays_exact(bench_mod):
     _write(bench_mod.GPT_GATE, {
         "trained_weights": True, "token_agreement": 0.90, "topk_tv_mean": 0.2,
+        "backend": "tpu",
     })
     gpt_int8, _ = bench_mod.serving_mode()
     assert gpt_int8 is False
@@ -45,14 +48,47 @@ def test_failing_quality_stays_exact(bench_mod):
 def test_untrained_gate_ignored(bench_mod):
     _write(bench_mod.GPT_GATE, {
         "trained_weights": False, "token_agreement": 0.999, "topk_tv_mean": 0.001,
+        "backend": "tpu",
     })
     gpt_int8, _ = bench_mod.serving_mode()
     assert gpt_int8 is False
 
 
+def test_cpu_backend_artifact_rejected(bench_mod, capsys):
+    """Round-3 regression: the gate authorizes the real served path, so an
+    artifact measured on CPU numerics must not flip the TPU bench to int8."""
+    _write(bench_mod.GPT_GATE, {
+        "trained_weights": True, "token_agreement": 0.999, "topk_tv_mean": 0.001,
+        "backend": "cpu",
+    })
+    gpt_int8, info = bench_mod.serving_mode()
+    assert gpt_int8 is False and info["serving"] == "exact-bf16"
+    assert "backend" in capsys.readouterr().err
+
+
+def test_missing_backend_field_rejected(bench_mod):
+    _write(bench_mod.GPT_GATE, {
+        "trained_weights": True, "token_agreement": 0.999, "topk_tv_mean": 0.001,
+    })
+    gpt_int8, _ = bench_mod.serving_mode()
+    assert gpt_int8 is False
+
+
+def test_fallback_gate_used(bench_mod, tmp_path, monkeypatch):
+    fb = tmp_path / "fallback.json"
+    _write(fb, {
+        "trained_weights": True, "token_agreement": 0.995, "topk_tv_mean": 0.004,
+        "backend": "tpu",
+    })
+    monkeypatch.setattr(bench_mod, "GPT_GATE_FALLBACKS", (str(fb),))
+    gpt_int8, info = bench_mod.serving_mode()
+    assert gpt_int8 is True and info["gpt_int8_gate"] == str(fb)
+
+
 def test_env_forces_exact(bench_mod, monkeypatch):
     _write(bench_mod.GPT_GATE, {
         "trained_weights": True, "token_agreement": 0.999, "topk_tv_mean": 0.001,
+        "backend": "tpu",
     })
     monkeypatch.setenv("CCVS_BENCH_SERVE", "exact")
     gpt_int8, info = bench_mod.serving_mode()
