@@ -276,6 +276,11 @@ class TransformerConfig:
     stft: bool = False
     deblurring: bool = False
     blur_sigma: int = 10
+    # segmentation layouts as the control stream (reference `--x_layout`,
+    # `options.py:151` "use layouts as state"): layout tokens from the AE's
+    # layout-twin quantizer interleave like state tokens (state_num = layout
+    # codebook size, state_size = tokens per layout frame)
+    layout: bool = False
 
     # training
     lr: float = 1e-5

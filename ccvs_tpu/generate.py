@@ -39,7 +39,8 @@ class VideoGenerator:
         self.stft_model = stft_model
 
     def generate(self, params, rng, real_vid, stft=None, vid_lbl=None,
-                 rec=True, fake=True, n_ctx_frames: Optional[int] = None,
+                 layout=None, rec=True, fake=True,
+                 n_ctx_frames: Optional[int] = None,
                  keep_state: bool = False, custom_state=None,
                  down_size: Optional[int] = None):
         """Synthesise videos continuing `real_vid`'s first context frames.
@@ -47,13 +48,18 @@ class VideoGenerator:
         Args:
           params: dict with keys "ae", "gpt" (+ "state", "stft").
           real_vid: (B, T, H, W, 3) in [-1, 1].
+          layout: (B, T, H, W) integer segmentations — with ``cfg.gpt.layout``
+            the layout tokens are the control stream (reference
+            `generator.py:107-118`; ``keep_state`` gives the full stream,
+            otherwise layouts beyond the context are sampled).
           n_ctx_frames: context frames (default `cond_len / tokens_per_frame`,
             reference `generator.py:94-101`).
 
         Returns:
-          dict(fake=(B, T, H, W, 3) [, rec=..., state=..., fake_state=...]).
-          With ``fake=False`` the AR generation is skipped entirely
-          (reference ``--rec_only``: reconstruction-quality runs).
+          dict(fake=(B, T, H, W, 3) [, rec=..., state=..., fake_state=...,
+          real_layout/fake_layout/rec_layout=...]). With ``fake=False`` the
+          AR generation is skipped entirely (reference ``--rec_only``:
+          reconstruction-quality runs).
         """
         cfg = self.cfg
         gcfg, acfg = cfg.gpt, cfg.ae
@@ -94,6 +100,18 @@ class VideoGenerator:
         if gcfg.stft and self.stft_model is not None and stft is not None:
             state_code = self.stft_model.encode(params["stft"], stft)
 
+        lenc = None
+        if gcfg.layout and layout is not None:
+            # layout tokens are the control stream (`generator.py:107-118`;
+            # layout_code returned as state_code by `QVidModel.encode`,
+            # `quantized_video_model.py:819`)
+            assert self.ae.encoder_l is not None, (
+                "cfg.gpt.layout requires the AE layout twins (cfg.ae.use_layout)")
+            assert not gcfg.p2p, "layout + p2p is not a reference configuration"
+            lenc = self.ae.encode_layout(params["ae"], layout)
+            state_code = lenc["code"].reshape(b, -1)
+            out["real_layout"] = layout
+
         ctx_vid = real_vid
         if gcfg.deblurring:
             # blurred-video conditioning (`generator.py:125-129`): the blurred
@@ -125,7 +143,7 @@ class VideoGenerator:
         else:
             cond_step, t_step = 0, t
         total_len = (cond_step + t_step) * size
-        if gcfg.state or gcfg.stft or gcfg.deblurring:
+        if gcfg.state or gcfg.stft or gcfg.deblurring or gcfg.layout:
             total_len += t_step * gcfg.state_size
 
         ctx_code = code_all[:, : n_ctx_frames * size]
@@ -144,10 +162,26 @@ class VideoGenerator:
 
             n_frames = t_step
             codes = gen["code"][:, : n_frames * size].reshape(b, n_frames, size)
-            fake_vid = self.ae.decode_video(
-                params["ae"], codes, ctx_frames=ctx_vid[:, :n_ctx_frames],
-                n_ctx=n_ctx_frames, cond_inter=cond_inter,
-            )
+            if lenc is not None:
+                # generated (or kept) layout tokens drive the shared decoder;
+                # beyond a kept stream the rollout re-encodes its own
+                # predicted layouts (`quantized_video_model.py:879-897`)
+                lcodes = gen["state_code"][:, : n_frames * gcfg.state_size]
+                lcodes = lcodes.reshape(b, n_frames, gcfg.state_size)
+                interl_gen = ([f[:, n_ctx_frames:] for f in lenc["inter"]]
+                              if keep_state_stream else None)
+                fake_vid, fake_lay = self.ae.decode_video_layout(
+                    params["ae"], codes, lcodes,
+                    ctx_vid[:, :n_ctx_frames], layout[:, :n_ctx_frames],
+                    n_ctx=n_ctx_frames, interl_gen=interl_gen,
+                )
+                out["fake_layout"] = jnp.argmax(
+                    fake_lay.astype(jnp.float32), axis=-1)
+            else:
+                fake_vid = self.ae.decode_video(
+                    params["ae"], codes, ctx_frames=ctx_vid[:, :n_ctx_frames],
+                    n_ctx=n_ctx_frames, cond_inter=cond_inter,
+                )
             if gcfg.p2p:
                 # the real end frame closes the clip (`generator.py:166-167`)
                 fake_vid = jnp.concatenate([fake_vid, real_vid[:, -1:]], axis=1)
@@ -160,13 +194,28 @@ class VideoGenerator:
                 )
 
         if rec:
-            out["rec"] = self.ae.decode_video(
-                params["ae"], enc["code"].reshape(b, t, size),
-                ctx_frames=real_vid[:, :n_ctx_frames], n_ctx=n_ctx_frames,
-            )
+            if lenc is not None:
+                # rollout-reconstruction with the full given layout stream
+                # (`generator.py:181-184`: rec gets the uncropped state_code
+                # AND interl)
+                rec_vid, rec_lay = self.ae.decode_video_layout(
+                    params["ae"], enc["code"].reshape(b, t, size),
+                    lenc["code"].reshape(b, t, size),
+                    real_vid[:, :n_ctx_frames], layout[:, :n_ctx_frames],
+                    n_ctx=n_ctx_frames,
+                    interl_gen=[f[:, n_ctx_frames:] for f in lenc["inter"]],
+                )
+                out["rec"] = rec_vid
+                out["rec_layout"] = jnp.argmax(rec_lay.astype(jnp.float32), axis=-1)
+            else:
+                out["rec"] = self.ae.decode_video(
+                    params["ae"], enc["code"].reshape(b, t, size),
+                    ctx_frames=real_vid[:, :n_ctx_frames], n_ctx=n_ctx_frames,
+                )
         return out
 
-    def generate_step_by_step(self, params, rng, real_vid, n_ctx_frames=None):
+    def generate_step_by_step(self, params, rng, real_vid, n_ctx_frames=None,
+                              fixed_shape=True):
         """Interleave transformer chunks with frame decode + code correction.
 
         Port of the `--step_by_step` path (`helpers/generator.py:132-159` +
@@ -174,6 +223,13 @@ class VideoGenerator:
         after decoding each predicted frame, the frame is re-encoded and its
         *actual* tokens replace the predicted chunk, so the transformer always
         conditions on codes consistent with the synthesized pixels.
+
+        ``fixed_shape`` (default) keeps the token buffer at window capacity
+        with a dynamic length, so every per-frame transformer call reuses ONE
+        compiled program (`TokenTransformer.generate_chunk_fixed`); the
+        reference — and ``fixed_shape=False`` — re-traces for every grown
+        context length below capacity (minutes per frame on this stack).
+        Outputs are identical under the same rng.
         """
         cfg = self.cfg
         gcfg, acfg = cfg.gpt, cfg.ae
@@ -194,17 +250,41 @@ class VideoGenerator:
                 fifo[r], src, (0, m - take) + (0,) * (fifo[r].ndim - 2)
             )
 
+        keep = gcfg.z_len - gcfg.z_chunk  # tokens kept when the window slides
+        n = code.shape[1]
+        if fixed_shape:
+            merged = jnp.zeros((b, gcfg.z_len), jnp.int32)
+            merged = jax.lax.dynamic_update_slice_in_dim(merged, code, 0, axis=1)
+
         frames = [real_vid[:, i] for i in range(n_ctx_frames)]
         curr = n_ctx_frames
         for _ in range(t - n_ctx_frames):
             # free a chunk if capacity is near (`generator.py:147-148`)
-            if code.shape[1] > gcfg.z_len - gcfg.z_chunk:
-                code = code[:, -(gcfg.z_len - gcfg.z_chunk):]
+            if n > keep:
+                if fixed_shape:
+                    shift = n - keep
+                    merged = jnp.concatenate(
+                        [merged[:, shift:], jnp.zeros((b, shift), jnp.int32)], axis=1
+                    )
+                else:
+                    code = code[:, -keep:]
+                n = keep
             rng, sub = jax.random.split(rng)
-            gen = self.transformer.generate(
-                params["gpt"], sub, code, total_len=code.shape[1] + gcfg.z_chunk
-            )
-            chunk = gen["code"][:, -size:]
+            if fixed_shape:
+                assert size == gcfg.z_chunk, (
+                    "fixed-shape step-by-step supports the plain frame-token "
+                    "stream (z_chunk == tokens_per_frame)")
+                merged = self.transformer.generate_chunk_fixed(
+                    params["gpt"], sub, merged, n
+                )
+                chunk = jax.lax.dynamic_slice_in_dim(
+                    merged, jnp.asarray(n), size, axis=1
+                )
+            else:
+                gen = self.transformer.generate(
+                    params["gpt"], sub, code, total_len=n + gcfg.z_chunk
+                )
+                chunk = gen["code"][:, -size:]
             # decode one frame against the FIFO
             z_t = self.ae.embed_code(params["ae"], chunk)
             mask = self.ae.fifo_mask(b, jnp.asarray(curr, jnp.int32))
@@ -215,7 +295,15 @@ class VideoGenerator:
                 fifo, new_enc["inter"], jnp.asarray(curr, jnp.int32),
                 acfg.keep_first, acfg.n_first,
             )
-            code = jnp.concatenate([gen["code"][:, : -size], new_enc["code"].reshape(b, -1)], axis=1)
+            new_code = new_enc["code"].reshape(b, -1)
+            if fixed_shape:
+                # corrected codes replace the predicted chunk in place
+                merged = jax.lax.dynamic_update_slice_in_dim(
+                    merged, new_code, jnp.asarray(n), axis=1
+                )
+            else:
+                code = jnp.concatenate([gen["code"][:, :-size], new_code], axis=1)
+            n += gcfg.z_chunk
             frames.append(frame)
             curr += 1
         return {"fake": jnp.stack(frames, axis=1)}
@@ -248,6 +336,19 @@ class VideoGenerator:
                           else batch_size * global_iter + i)
                 path = os.path.join(result_path, name, f"vid_{vid_id:05d}.avi")
                 video_io.write_video(path, u8[i], fps=fps)
+        # colormapped layout videos (`helpers/generator.py:225-230` +
+        # `save_video_batch` ``is_layout`` postprocess at `:285-298`)
+        for name in ("real_layout", "fake_layout", "rec_layout"):
+            if name in out:
+                seg = np.asarray(out[name])
+                if seg.ndim == 5:  # logits -> classes
+                    seg = seg.argmax(-1)
+                u8 = video_io.layout_to_uint8(seg)
+                for i in range(u8.shape[0]):
+                    vid_id = (int(vid_ids[i]) if vid_ids is not None
+                              else batch_size * global_iter + i)
+                    path = os.path.join(result_path, name, f"vid_{vid_id:05d}.avi")
+                    video_io.write_video(path, u8[i], fps=fps)
         # state-marked copies
         for name, key in [("real_state", "state"), ("fake_state", "fake_state")]:
             if key in out:

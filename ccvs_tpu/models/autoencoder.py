@@ -410,6 +410,108 @@ class FrameAutoencoder:
             return jnp.concatenate([ctx_rgb.astype(frames.dtype), frames], axis=1)
         return frames
 
+    def embed_layout_code(self, params, code):
+        """Layout token indices -> zl_q latents via the layout quantizer
+        (`quantized_video_model.py:840-842`)."""
+        cfg = self.cfg
+        lead = code.shape[:-1]
+        idx = code.reshape(*lead, *cfg.z_shape)
+        return self.quantizer_l.apply(
+            {"params": params["quantizer_l"]}, idx, method=VectorQuantizer.embed_code
+        )
+
+    def decode_video_layout(self, params, codes, layout_codes, ctx_frames,
+                            ctx_layout, n_ctx=1, interl_gen=None):
+        """Layout-conditioned doubly-AR rollout (``same_decoder_layout``).
+
+        Re-implements the ``use_layout`` branch of `QVidModel.decode`
+        (`quantized_video_model.py:836-903`): image and layout latents are
+        channel-concatenated into the shared decoder, context features are
+        half image / half layout channels, and each synthesized frame's
+        context refresh re-encodes BOTH the rgb (image encoder) and — when
+        the layout stream beyond the context is generated rather than given —
+        the predicted layout (argmax -> one-hot -> layout encoder,
+        `:879-897`).
+
+        Args:
+          codes: (B, T, size) frame token indices (context included).
+          layout_codes: (B, T, size) layout token indices.
+          ctx_frames: (B, n_ctx, H, W, 3) real context frames.
+          ctx_layout: (B, n_ctx, H, W) integer context segmentations.
+          interl_gen: optional per-resolution list of (B, T-n_ctx, ...) GIVEN
+            layout encoder features for the generated range (the reference's
+            ``curr < ctxl`` branch, active under keep_state / reconstruction);
+            None re-encodes the predicted layouts instead.
+
+        Returns:
+          (vid, layout_logits): (B, T, H, W, 3) and (B, T, H, W, layout_size).
+        """
+        cfg = self.cfg
+        assert cfg.use_layout and cfg.same_decoder_layout, (
+            "layout rollout requires the shared-decoder layout twin "
+            "(reference vid decode only supports same_decoder_layout)")
+        if self.dtype == jnp.bfloat16:
+            from ccvs_tpu.utils.casting import cast_params_bf16
+
+            params = cast_params_bf16(params)
+        b, t = codes.shape[0], codes.shape[1]
+        m = cfg.skip_memory
+        z_all = self.embed_code(params, codes)
+        zl_all = self.embed_layout_code(params, layout_codes)
+        z = jnp.concatenate([z_all, zl_all], axis=-1)  # (B, T, h, w, 2z)
+
+        # context: merged (half-image / half-layout) inters, own-frame decode
+        enc = self.encode(params, ctx_frames)
+        lenc = self.encode_layout(params, ctx_layout)
+        merged_ctx = self.merge_layout_inters(enc["inter"], lenc["inter"])
+        ctx_rgb, ctx_lay = self.decoder.apply(
+            {"params": params["decoder"]},
+            z[:, :n_ctx].astype(self.dtype),
+            [[f[:, :n_ctx] for f in merged_ctx]],
+        )
+
+        fifo = self._zero_inters(b, m)
+        take = min(n_ctx, m)
+        for r in range(len(fifo)):
+            src = merged_ctx[r][:, n_ctx - take : n_ctx].astype(self.dtype)
+            fifo[r] = jax.lax.dynamic_update_slice(
+                fifo[r], src, (0, m - take) + (0,) * (fifo[r].ndim - 2)
+            )
+
+        def step(carry, xs):
+            fifo, curr = carry
+            z_t, interl_t = xs
+            mask = self.fifo_mask(b, curr)
+            inter_tgts = [[f[:, s] for f in fifo] for s in range(m)]
+            rgb, lay, _, _, _ = self.decoder.apply(
+                {"params": params["decoder"]}, z_t.astype(self.dtype), inter_tgts,
+                ctx_mask=mask, return_all=True, inter_pre_warping=False,
+            )
+            new_inter = self.refresh_inter(params, rgb)
+            if interl_t is None:
+                seg = jnp.argmax(lay.astype(jnp.float32), axis=-1)
+                soft = self.one_hot_layout(seg)
+                _, new_interl = self.encoder_l.apply(
+                    {"params": params["encoder_l"]}, soft.astype(self.dtype)
+                )
+            else:
+                new_interl = interl_t
+            merged = self.merge_layout_inters(new_inter, new_interl)
+            fifo = self.fifo_push(fifo, merged, curr, cfg.keep_first, cfg.n_first)
+            return (fifo, curr + 1), (rgb, lay)
+
+        z_gen = jnp.moveaxis(z[:, n_ctx:], 1, 0)  # (T-n_ctx, B, h, w, 2z)
+        xs_interl = (None if interl_gen is None
+                     else [jnp.moveaxis(f, 1, 0).astype(self.dtype) for f in interl_gen])
+        (_, _), (frames, lays) = jax.lax.scan(
+            step, (fifo, jnp.asarray(n_ctx, jnp.int32)), (z_gen, xs_interl)
+        )
+        vid = jnp.concatenate(
+            [ctx_rgb.astype(frames.dtype), jnp.moveaxis(frames, 0, 1)], axis=1)
+        lay = jnp.concatenate(
+            [ctx_lay.astype(lays.dtype), jnp.moveaxis(lays, 0, 1)], axis=1)
+        return vid, lay
+
     def reconstruct(self, params, frames):
         """Pure per-frame reconstruction (encode -> quantize -> decode with own
         inters), the reference's `rec/` output (`helpers/generator.py:172-189`)."""

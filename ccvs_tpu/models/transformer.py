@@ -28,6 +28,32 @@ from ccvs_tpu.nn.gpt import (GPT, KIND_FRAME, KIND_STATE, Schedule,
                              build_schedule, cache_to_layers, decode_step_fn)
 
 
+def _sample_token(cfg: TransformerConfig, rng, logits, kind_j):
+    """Sample one token: temperature / vocab mask / top-k / sample-or-greedy,
+    switched between frame and state streams by ``kind_j``
+    (`transformer_model.py:395-409`)."""
+    is_state = kind_j == KIND_STATE
+    temp = jnp.where(is_state, cfg.temperature_state, cfg.temperature)
+    logits = logits.astype(jnp.float32) / temp
+    vocab = logits.shape[-1]
+    ar = jnp.arange(vocab)
+    frame_mask = ar < cfg.z_num
+    state_mask = ar < max(cfg.state_num, 1)
+    mask = jnp.where(is_state, state_mask, frame_mask)
+    logits = jnp.where(mask[None], logits, -jnp.inf)
+    if cfg.top_k is not None or cfg.top_k_state is not None:
+        kmax = max(k for k in [cfg.top_k, cfg.top_k_state, 1] if k is not None)
+        vals, _ = jax.lax.top_k(logits, min(kmax, vocab))
+        kf = (cfg.top_k or 1) - 1
+        ks = (cfg.top_k_state or cfg.top_k or 1) - 1
+        thresh = jnp.where(is_state, vals[:, ks], vals[:, kf])
+        logits = jnp.where(logits < thresh[:, None], -jnp.inf, logits)
+    do_sample = jnp.where(is_state, cfg.sample_state or cfg.sample, cfg.sample)
+    sampled = jax.random.categorical(rng, logits, axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(do_sample, sampled, greedy).astype(jnp.int32)
+
+
 class TokenTransformer:
     def __init__(self, cfg: TransformerConfig, dtype=jnp.bfloat16):
         self.cfg = cfg
@@ -177,6 +203,94 @@ class TokenTransformer:
 
         return {"code": code, "state_code": state_code}
 
+    def generate_chunk_fixed(self, params, rng, merged, n):
+        """Extend a FIXED-capacity token buffer by one ``z_chunk`` at dynamic
+        position ``n``.
+
+        The step-by-step driver (`helpers/generator.py:132-159`) calls the
+        transformer once per frame on a growing context; the reference (and
+        our plain ``generate``) re-trace for every new length. Here the
+        buffer is always ``(B, z_len)`` — tokens beyond ``n`` are
+        placeholders, causally invisible to every position <= n and
+        overwritten as the scan reaches them — and ``n`` is a traced scalar,
+        so EVERY per-frame call reuses one compiled program.
+
+        Only the plain frame-token stream is supported (the reference's
+        ``--step_by_step`` configurations: no start/class/p2p prefix).
+
+        Args:
+          merged: (B, z_len) int32 buffer, first ``n`` positions real tokens.
+          n: traced scalar count of real tokens (>= 1).
+
+        Returns:
+          merged with positions ``n .. n + z_chunk - 1`` generated.
+        """
+        cfg = self.cfg
+        assert not (cfg.use_start_token or cfg.cat or cfg.p2p), (
+            "fixed-shape chunk generation supports the plain token stream only")
+        if self.model.dtype == jnp.bfloat16:
+            from ccvs_tpu.utils.casting import cast_params_bf16
+
+            params = cast_params_bf16(params)
+        qparams = None
+        if cfg.serve_int8:
+            from ccvs_tpu.nn.quantized import quantize_gpt_int8
+
+            qparams = quantize_gpt_int8(params)
+        L = cfg.z_len
+        sched = self._sched_for(L)
+        kind = jnp.asarray(sched.kind[:L])
+        s_idx = jnp.asarray(sched.s_idx[:L])
+        t_idx = jnp.asarray(sched.t_idx[:L])
+        # mirror generate()'s split structure so outputs match the growing-
+        # shape path token-for-token under the same starting rng
+        rng, sub = jax.random.split(rng)
+        return self._chunk_fill_jit(
+            params, sub, merged, jnp.asarray(n, jnp.int32), kind, s_idx, t_idx,
+            qparams,
+        )
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _chunk_fill_jit(self, params, rng, merged, n, kind, s_idx, t_idx,
+                        qparams=None):
+        cfg = self.cfg
+        b, L = merged.shape
+        model = self.model
+        if qparams is not None:
+            from ccvs_tpu.nn.quantized import decode_step_fn_int8
+
+            step_decode = partial(decode_step_fn_int8, cfg, params, qparams)
+        else:
+            step_decode = partial(decode_step_fn, cfg, params)
+
+        cache = model.apply({"params": params}, b, L, method=GPT.init_cache)
+        emb = model.apply(
+            {"params": params}, merged, kind, s_idx, t_idx, method=GPT.embed_one
+        )
+        logits_all, cache = model.apply({"params": params}, emb, cache, method=GPT.prefill)
+        cache = cache_to_layers(cache)
+        logits0 = jax.lax.dynamic_index_in_dim(
+            logits_all, n - 1, axis=1, keepdims=False
+        )
+
+        def step(carry, k):
+            merged, cache, logits, rng = carry
+            j = n + k
+            rng, sub = jax.random.split(rng)
+            tok = _sample_token(cfg, sub, logits, kind[j])
+            merged = jax.lax.dynamic_update_index_in_dim(merged, tok, j, axis=1)
+            emb1 = model.apply(
+                {"params": params}, tok, kind[j], s_idx[j], t_idx[j],
+                method=GPT.embed_one,
+            )[:, None]
+            new_logits, cache = step_decode(emb1, j, cache, dtype=model.dtype)
+            return (merged, cache, new_logits, rng), None
+
+        (merged, _, _, _), _ = jax.lax.scan(
+            step, (merged, cache, logits0, rng), jnp.arange(cfg.z_chunk)
+        )
+        return merged
+
     def _capacity(self, cond_code):
         """Merged-token capacity of one window (`transformer_model.py:337-339`)."""
         cfg = self.cfg
@@ -306,31 +420,8 @@ class TokenTransformer:
             logits_all, prefix_len + start - 1, axis=1, keepdims=False
         )
 
-        kmax = max(
-            [k for k in [cfg.top_k, cfg.top_k_state, 1] if k is not None]
-        )
-
         def sample(rng, logits, j):
-            is_state = kind[j] == KIND_STATE
-            temp = jnp.where(is_state, cfg.temperature_state, cfg.temperature)
-            logits = logits.astype(jnp.float32) / temp
-            # vocab masks
-            vocab = logits.shape[-1]
-            ar = jnp.arange(vocab)
-            frame_mask = ar < cfg.z_num
-            state_mask = ar < max(cfg.state_num, 1)
-            mask = jnp.where(is_state, state_mask, frame_mask)
-            logits = jnp.where(mask[None], logits, -jnp.inf)
-            if cfg.top_k is not None or cfg.top_k_state is not None:
-                vals, _ = jax.lax.top_k(logits, min(kmax, vocab))
-                kf = (cfg.top_k or 1) - 1
-                ks = (cfg.top_k_state or cfg.top_k or 1) - 1
-                thresh = jnp.where(is_state, vals[:, ks], vals[:, kf])
-                logits = jnp.where(logits < thresh[:, None], -jnp.inf, logits)
-            do_sample = jnp.where(is_state, cfg.sample_state or cfg.sample, cfg.sample)
-            sampled = jax.random.categorical(rng, logits, axis=-1)
-            greedy = jnp.argmax(logits, axis=-1)
-            return jnp.where(do_sample, sampled, greedy).astype(jnp.int32)
+            return _sample_token(cfg, rng, logits, kind[j])
 
         def step(carry, j):
             merged, cache, logits, rng = carry

@@ -131,6 +131,19 @@ def to_uint8(vid: np.ndarray, span=(-1.0, 1.0), imagenet_norm=False) -> np.ndarr
     return (vid * 255).astype(np.uint8)
 
 
+def layout_to_uint8(seg: np.ndarray) -> np.ndarray:
+    """Integer segmentation video -> colormapped uint8 RGB.
+
+    Matches `save_video_batch`'s ``is_layout`` branch
+    (`helpers/generator.py:287-298`): class indices map through the
+    19-entry urban-scene colormap; logits callers argmax first.
+    """
+    from ccvs_tpu.utils.logging import _COLORMAP
+
+    s = np.asarray(seg).astype(int)
+    return (_COLORMAP[s % len(_COLORMAP)] * 255).astype(np.uint8)
+
+
 def draw_cross(img: np.ndarray, x: int, y: int) -> np.ndarray:
     """White cross state marker (`helpers/generator.py:336-359`)."""
     h, w = img.shape[:2]

@@ -151,6 +151,31 @@ def test_generate_step_by_step(rng):
     assert np.isfinite(np.asarray(out["fake"])).all()
 
 
+def test_step_by_step_fixed_shape_equality(rng):
+    """The fixed-shape step-by-step path must (a) produce the same video as
+    the growing-shape path under the same rng and (b) trace exactly ONE
+    transformer program across all frames, including past the sliding-window
+    truncation (the growing path compiles a new program per frame below
+    capacity)."""
+    from ccvs_tpu.models.transformer import TokenTransformer
+
+    ae, tr, params = _models()
+    # 6 frames: 1 ctx + 5 generated; n = 16,32,48 then slides (keep=48)
+    vid = jnp.asarray(rng.randn(1, 6, 8, 8, 3).astype(np.float32)) * 0.1
+    gen = VideoGenerator(Config(ae=AE, gpt=GPTC), ae, tr)
+
+    before = TokenTransformer._chunk_fill_jit._cache_size()
+    out_fix = gen.generate_step_by_step(params, jax.random.PRNGKey(3), vid)
+    after = TokenTransformer._chunk_fill_jit._cache_size()
+    assert after - before == 1, "fixed-shape path must compile exactly once"
+
+    out_ref = gen.generate_step_by_step(
+        params, jax.random.PRNGKey(3), vid, fixed_shape=False)
+    np.testing.assert_allclose(
+        np.asarray(out_fix["fake"]), np.asarray(out_ref["fake"]),
+        rtol=1e-5, atol=1e-5)
+
+
 def test_generate_keep_state_and_custom(rng):
     from ccvs_tpu.generate import square_trajectory
     from ccvs_tpu.models import StateModel
@@ -222,6 +247,56 @@ def test_generate_deblurring(rng):
     out = gen.generate(params, jax.random.PRNGKey(1), vid, rec=False)
     assert out["fake"].shape == (1, 2, 8, 8, 3)
     assert "blur" in out
+
+
+def test_generate_layout_conditioned(rng, tmp_path):
+    """Layout tokens as the control stream, full pipeline (reference
+    `generator.py:107-118` + `quantized_video_model.py:836-903`): sampled
+    layouts beyond context, keep_state with the given stream, rollout rec,
+    and colormapped layout video saving (`generator.py:225-230`)."""
+    import dataclasses
+    import os
+
+    ae_cfg = dataclasses.replace(
+        AE, use_layout=True, layout_size=5, same_decoder_layout=True)
+    cfg = TransformerConfig(
+        z_num=32, z_len=128, z_chunk=32, num_blocks=4, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        layout=True, state_num=32, state_size=16, top_k=5,
+        sample_state=True, top_k_state=5,
+    )
+    ae = FrameAutoencoder(ae_cfg, dtype=jnp.float32)
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params = {"ae": ae.init(key), "gpt": tr.init(key, batch=1)}
+    gen = VideoGenerator(Config(ae=ae_cfg, gpt=cfg), ae, tr)
+    vid = jnp.asarray(rng.randn(1, 4, 8, 8, 3).astype(np.float32)) * 0.1
+    layout = jnp.asarray(rng.randint(0, 5, (1, 4, 8, 8)))
+
+    # sampled layout stream beyond the 1-frame context
+    out = gen.generate(params, jax.random.PRNGKey(1), vid, layout=layout)
+    assert out["fake"].shape == (1, 4, 8, 8, 3)
+    assert out["fake_layout"].shape == (1, 4, 8, 8)
+    assert out["rec"].shape == (1, 4, 8, 8, 3)
+    assert out["rec_layout"].shape == (1, 4, 8, 8)
+    fl = np.asarray(out["fake_layout"])
+    assert fl.min() >= 0 and fl.max() < 5
+    assert np.isfinite(np.asarray(out["fake"])).all()
+
+    # keep_state: the full given layout stream drives generation AND the
+    # rollout uses the given layout inters (reference keep_state branch)
+    out_k = gen.generate(params, jax.random.PRNGKey(2), vid, layout=layout,
+                         rec=False, keep_state=True)
+    assert out_k["fake"].shape == (1, 4, 8, 8, 3)
+    assert out_k["fake_layout"].shape == (1, 4, 8, 8)
+
+    # layout video saving: real_layout/fake_layout colormapped AVIs
+    gen.save_batch(str(tmp_path), 0, 1, vid, out)
+    for name in ("real_layout", "fake_layout", "rec_layout", "fake", "rec", "real"):
+        path = os.path.join(str(tmp_path), name, "vid_00000.avi")
+        assert os.path.exists(path), name
+    rl = video_io.read_video(os.path.join(str(tmp_path), "real_layout", "vid_00000.avi"))
+    assert rl.shape == (4, 8, 8, 3)
 
 
 def test_decode_video_bucketing_invariance(rng):
