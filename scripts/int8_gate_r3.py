@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ARGS = argparse.ArgumentParser()
 ARGS.add_argument("--quality-only", action="store_true")
 ARGS.add_argument("--cpu", action="store_true")
+ARGS.add_argument("--ckpt-dir", default=os.path.join("runs_r3", "checkpoints", "r3_gpt_sustained"),
+                  help="trained GPT checkpoint dir (round-4 reruns pass "
+                       "runs_r4/checkpoints/r4_gpt_sustained)")
+ARGS.add_argument("--out", default=os.path.join("runs_r3", "int8_gate.json"))
 ARGS = ARGS.parse_args()
 if ARGS.cpu:
     os.environ.pop("JAX_PLATFORMS", None)
@@ -58,7 +62,7 @@ def main():
     model = tr.model
     params = None
     trained = False
-    ckpt_dir = os.path.join("runs_r3", "checkpoints", "r3_gpt_sustained")
+    ckpt_dir = ARGS.ckpt_dir
     if os.path.isdir(ckpt_dir):
         try:
             from ccvs_tpu.utils.checkpoint import CheckpointManager
@@ -145,7 +149,7 @@ def main():
     # 3) end-to-end generate: bf16 vs int8 timing (within-run), + beam x int8
     if ARGS.quality_only:
         print(json.dumps(out, indent=1))
-        with open("runs_r3/int8_gate.json", "w") as f:
+        with open(ARGS.out, "w") as f:
             json.dump(out, f, indent=1)
         return
     ctx = tokens[:, :cond]
@@ -177,10 +181,10 @@ def main():
     out["beam_int8_ok"] = True
 
     print(json.dumps(out, indent=1))
-    with open("runs_r3/int8_gate.json", "w") as f:
+    with open(ARGS.out, "w") as f:
         json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
-    os.makedirs("runs_r3", exist_ok=True)
+    os.makedirs(os.path.dirname(ARGS.out) or ".", exist_ok=True)
     main()

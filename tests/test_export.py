@@ -47,6 +47,79 @@ def test_export_vgg_with_mocked_torchvision(tmp_path, monkeypatch):
     assert all(np.isfinite(np.asarray(a)).all() for a in acts)
 
 
+def test_export_vgg_roundtrip_forward_equality(tmp_path, monkeypatch, rng):
+    """File-drop guarantee for the day real torchvision weights arrive: a
+    state dict in torchvision's exact key format, pushed through the REAL
+    exporter (`port/export_vgg.py`) into the npz our loader reads, must give
+    slice activations and perceptual loss numerically equal to a pure-torch
+    VGG19 forward on the same weights (`modules/perceptual.py:9-24`)."""
+    import torch
+
+    from ccvs_tpu.nn.vgg import _layer_plan, features, load_vgg19_npz, vgg_loss
+    from ccvs_tpu.port import export_vgg
+
+    torch.manual_seed(0)
+    sd, i = {}, 0
+    layers = []
+    for kind, cin, cout in _layer_plan():
+        if kind == "conv":
+            conv = torch.nn.Conv2d(cin, cout, 3, padding=1)
+            with torch.no_grad():
+                conv.weight.mul_(0.2)  # keep deep activations in fp32 range
+            sd[f"features.{i}.weight"] = conv.weight.detach().clone()
+            sd[f"features.{i}.bias"] = conv.bias.detach().clone()
+            layers.append(conv)
+        elif kind == "relu":
+            layers.append(torch.nn.ReLU())
+        else:
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        i += 1
+    net = torch.nn.Sequential(*layers).eval()
+
+    fake_vgg = types.SimpleNamespace(state_dict=lambda: sd)
+    tv = types.ModuleType("torchvision")
+    tv.models = types.SimpleNamespace(vgg19=lambda weights=None: fake_vgg)
+    monkeypatch.setitem(sys.modules, "torchvision", tv)
+    out = tmp_path / "vgg19.npz"
+    export_vgg.main(str(out))
+
+    params = load_vgg19_npz(str(out))
+    x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    slice_ends = {2, 7, 12, 21, 30}  # perceptual.py:10-23 slice boundaries
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def torch_slices(xin):
+        # features() normalizes [-1,1] -> imagenet internally; mirror it
+        h = ((xin + 1.0) * 0.5 - mean) / std
+        h = torch.from_numpy(h.transpose(0, 3, 1, 2))
+        outs = []
+        with torch.no_grad():
+            for j, layer in enumerate(net):
+                h = layer(h)
+                if j + 1 in slice_ends:
+                    outs.append(h.numpy().transpose(0, 2, 3, 1))
+        return outs
+
+    torch_acts = torch_slices(x)
+    acts = features(params, jnp.asarray(x))
+    assert len(acts) == len(torch_acts)
+    for a, ta in zip(acts, torch_acts):
+        np.testing.assert_allclose(np.asarray(a), ta, rtol=2e-4, atol=2e-4)
+
+    # weighted perceptual loss end-to-end vs a pure-torch computation
+    # (weights 1/32..1, perceptual.py:30-36,44-52)
+    y = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    loss = vgg_loss(params, jnp.asarray(x), jnp.asarray(y))
+    want = sum(
+        w * float(np.abs(fa - ra).mean())
+        for w, fa, ra in zip([1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0],
+                             torch_acts, torch_slices(y))
+    )
+    np.testing.assert_allclose(float(loss), want, rtol=5e-4)
+
+
 def _torch_style_i3d_sd(variables):
     """Inverse of export_i3d.translate: flax variables -> pytorch-i3d keys."""
     from ccvs_tpu.port.export_i3d import _BRANCH, _ENDPOINT
