@@ -301,13 +301,15 @@ def _generate(args):
             it = iter(loader)
             batch = next(it)
         dev = put_batch(mesh, {k: batch[k]
-                               for k in ("vid", "stft", "vid_lbl") if k in batch})
+                               for k in ("vid", "stft", "vid_lbl", "layout")
+                               if k in batch})
         vid = dev["vid"]
         rng, sub = jax.random.split(rng)
         # --rec-only: reconstruction-quality runs, no AR generation
         # (the old wiring inverted this and disabled rec instead)
         out = gen.generate(params, sub, vid, stft=dev.get("stft"),
-                           vid_lbl=dev.get("vid_lbl"), rec=True,
+                           vid_lbl=dev.get("vid_lbl"), layout=dev.get("layout"),
+                           rec=True,
                            fake=not args.rec_only, keep_state=args.keep_state)
         if mesh is not None and jax.process_count() > 1:
             # multi-host: global outputs are not fully addressable from one

@@ -250,7 +250,23 @@ class VideoGenerator:
                 fifo[r], src, (0, m - take) + (0,) * (fifo[r].ndim - 2)
             )
 
+        # p2p step mode (`generator.py:138-146`): the end frame's tokens ride
+        # as cond_code and its skip features as an extra decode context; the
+        # real end frame closes the clip. The cond prefix is not part of the
+        # fixed-shape program, so p2p uses the growing-shape path.
+        cond_code = cond_inter = delta = None
+        t_gen = t - n_ctx_frames
+        if gcfg.p2p:
+            fixed_shape = False
+            enc_end = self.ae.encode(params["ae"], real_vid[:, -1:])
+            cond_code = enc_end["code"].reshape(b, -1)
+            cond_inter = [f[:, -1].astype(self.ae.dtype) for f in enc_end["inter"]]
+            delta = jnp.full((b,), t - 1, jnp.int32)
+            t_gen = t - 1 - n_ctx_frames
+
         keep = gcfg.z_len - gcfg.z_chunk  # tokens kept when the window slides
+        if gcfg.p2p:
+            keep = gcfg.z_len - 2 * gcfg.z_chunk  # cond chunk reserves one more
         n = code.shape[1]
         if fixed_shape:
             merged = jnp.zeros((b, gcfg.z_len), jnp.int32)
@@ -258,8 +274,8 @@ class VideoGenerator:
 
         frames = [real_vid[:, i] for i in range(n_ctx_frames)]
         curr = n_ctx_frames
-        for _ in range(t - n_ctx_frames):
-            # free a chunk if capacity is near (`generator.py:147-148`)
+        for _ in range(t_gen):
+            # free a chunk if capacity is near (`generator.py:140-148`)
             if n > keep:
                 if fixed_shape:
                     shift = n - keep
@@ -267,6 +283,10 @@ class VideoGenerator:
                         [merged[:, shift:], jnp.zeros((b, shift), jnp.int32)], axis=1
                     )
                 else:
+                    if gcfg.p2p:
+                        # reposition the delta embedding for the dropped
+                        # frames (`generator.py:141-142`)
+                        delta = delta - ((n - gcfg.z_len) // gcfg.z_chunk + 2)
                     code = code[:, -keep:]
                 n = keep
             rng, sub = jax.random.split(rng)
@@ -281,14 +301,17 @@ class VideoGenerator:
                     merged, jnp.asarray(n), size, axis=1
                 )
             else:
+                total = n + gcfg.z_chunk + (cond_code.shape[1] if cond_code is not None else 0)
                 gen = self.transformer.generate(
-                    params["gpt"], sub, code, total_len=n + gcfg.z_chunk
+                    params["gpt"], sub, code, cond_code=cond_code, delta=delta,
+                    total_len=total,
                 )
                 chunk = gen["code"][:, -size:]
             # decode one frame against the FIFO
             z_t = self.ae.embed_code(params["ae"], chunk)
             mask = self.ae.fifo_mask(b, jnp.asarray(curr, jnp.int32))
-            frame, _ = self.ae.decode_frame(params["ae"], z_t, fifo, mask)
+            frame, _ = self.ae.decode_frame(params["ae"], z_t, fifo, mask,
+                                            extra_ctx=cond_inter)
             # re-encode: fresh inters + corrected codes
             new_enc = self.ae.encode(params["ae"], frame)
             fifo = self.ae.fifo_push(
@@ -306,6 +329,9 @@ class VideoGenerator:
             n += gcfg.z_chunk
             frames.append(frame)
             curr += 1
+        if gcfg.p2p:
+            # the real end frame closes the clip (`generator.py:166-167`)
+            frames.append(real_vid[:, -1])
         return {"fake": jnp.stack(frames, axis=1)}
 
     def generate_from_image(self, params, rng, img, vid_len=None, **kw):

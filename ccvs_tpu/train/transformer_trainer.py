@@ -76,6 +76,14 @@ class TransformerTrainer:
             out["state_code"] = self.state_model.encode(self.state_params, z=z)
         if self.stft_model is not None and "stft" in batch:
             out["state_code"] = self.stft_model.encode(self.stft_params, batch["stft"])
+        if gcfg.layout and "layout" in batch:
+            # layout tokens are the control stream: the reference's
+            # `vid_encoder` returns the layout-twin quantizer indices as
+            # state_code (`quantized_video_model.py:801-819`)
+            if not hasattr(self, "_encode_layout"):
+                self._encode_layout = jax.jit(self.ae.encode_layout)
+            lenc = self._encode_layout(self.ae_params, batch["layout"])
+            out["state_code"] = lenc["code"].reshape(b, -1)
         if gcfg.p2p:
             out["cond_code"] = code[:, -gcfg.z_chunk :]
             out["code"] = code[:, : -gcfg.z_chunk]

@@ -84,9 +84,24 @@ def main():
     out["sbs_programs_traced"] = TT._chunk_fill_jit._cache_size() - before
     out["sbs_finite"] = bool(np.isfinite(np.asarray(o2["fake"])).all())
 
+    # p2p step-by-step (end-frame cond prefix + extra decode context)
+    g3 = dataclasses.replace(g2, p2p=True)
+    tr3 = TokenTransformer(g3, dtype=jnp.bfloat16)
+    params3 = {"ae": params2["ae"], "gpt": tr3.init(key, batch=1)}
+    gen3 = VideoGenerator(Config(ae=ae2_cfg, gpt=g3), ae2, tr3)
+    t0 = time.time()
+    o3 = gen3.generate_step_by_step(params3, jax.random.PRNGKey(3), vid6)
+    sync(o3["fake"])
+    out["sbs_p2p_s"] = round(time.time() - t0, 1)
+    out["sbs_p2p_finite"] = bool(np.isfinite(np.asarray(o3["fake"])).all())
+    out["sbs_p2p_end_frame_real"] = bool(
+        np.allclose(np.asarray(o3["fake"][:, -1]), np.asarray(vid6[:, -1]),
+                    atol=1e-2))
+
     print(json.dumps(out))
     ok = (out["layout_fake_finite"] and out["layout_classes_in_range"]
-          and out["sbs_programs_traced"] == 1 and out["sbs_finite"])
+          and out["sbs_programs_traced"] == 1 and out["sbs_finite"]
+          and out["sbs_p2p_finite"] and out["sbs_p2p_end_frame_real"])
     os.makedirs("runs_r4", exist_ok=True)
     with open("runs_r4/tpu_drive_r4.json", "w") as f:
         json.dump(out, f, indent=1)

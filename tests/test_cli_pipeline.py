@@ -115,6 +115,43 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert not (recres / "fake").exists()
 
 
+def test_cli_layout_pipeline(tmp_path):
+    """Layout twins end-to-end through the CLI: train the AE with layout
+    losses, then layout-conditioned generation writing colormapped
+    real/fake/rec layout videos (reference --q_use_layout + --x_layout,
+    `helpers/generator.py:107-118,225-230`)."""
+    from ccvs_tpu import cli
+
+    ae = dataclasses.replace(
+        TINY_AE, use_layout=True, layout_size=3, same_decoder_layout=True)
+    gpt = TransformerConfig(
+        z_num=32, z_len=256, z_chunk=128, num_blocks=2, cond_len=64,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(8, 8), emb_mode="temporal",
+        layout=True, state_num=32, state_size=64, top_k=5,
+        sample_state=True, top_k_state=5,
+    )
+    data = dataclasses.replace(TINY_DATA, load_layout=True)
+    cfg = Config(
+        name="clilay", save_path=str(tmp_path), data=data, ae=ae,
+        gpt=gpt, n_iter=2, save_latest_freq=100, log_freq=0,
+    )
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(cfg.to_json())
+
+    cli.main(["train-ae", "--load-config", str(cfg_path),
+              "--save-path", str(tmp_path), "--n-iter", "2"])
+    ae_ckpt = tmp_path / "checkpoints" / "clilay"
+    cli.main(["train-transformer", "--load-config", str(cfg_path),
+              "--save-path", str(tmp_path), "--n-iter", "2",
+              "--ae-ckpt", str(ae_ckpt)])
+    cli.main(["generate", "--load-config", str(cfg_path),
+              "--save-path", str(tmp_path), "--n-batches", "1",
+              "--ae-ckpt", str(ae_ckpt), "--gpt-ckpt", str(ae_ckpt)])
+    results = tmp_path / "results" / "clilay"
+    for d in ("real", "fake", "rec", "real_layout", "fake_layout", "rec_layout"):
+        assert len(list((results / d).glob("*.avi"))) == data.batch_size_vid, d
+
+
 def test_state_trainer_runs(tmp_path):
     from ccvs_tpu.models import FrameAutoencoder
     from ccvs_tpu.train.state_trainer import StateEstimatorTrainer

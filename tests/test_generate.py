@@ -176,6 +176,29 @@ def test_step_by_step_fixed_shape_equality(rng):
         rtol=1e-5, atol=1e-5)
 
 
+def test_generate_step_by_step_p2p(rng):
+    """p2p in step mode (`generator.py:138-146`): end-frame cond tokens +
+    extra decode context, window freeing repositions delta, real end frame
+    closes the clip."""
+    cfg = TransformerConfig(
+        z_num=32, z_len=64, z_chunk=16, num_blocks=4, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4), emb_mode="temporal",
+        p2p=True, top_k=5,
+    )
+    ae = FrameAutoencoder(AE, dtype=jnp.float32)
+    tr = TokenTransformer(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params = {"ae": ae.init(key), "gpt": tr.init(key, batch=1)}
+    gen = VideoGenerator(Config(ae=AE, gpt=cfg), ae, tr)
+    # 6 frames: 1 ctx + 4 generated + real end; keep = 64 - 32 = 32 tokens,
+    # so the window frees (and delta repositions) during the run
+    vid = jnp.asarray(rng.randn(1, 6, 8, 8, 3).astype(np.float32)) * 0.1
+    out = gen.generate_step_by_step(params, jax.random.PRNGKey(1), vid)
+    assert out["fake"].shape == (1, 6, 8, 8, 3)
+    assert np.isfinite(np.asarray(out["fake"])).all()
+    np.testing.assert_allclose(np.asarray(out["fake"][:, -1]), np.asarray(vid[:, -1]))
+
+
 def test_generate_keep_state_and_custom(rng):
     from ccvs_tpu.generate import square_trajectory
     from ccvs_tpu.models import StateModel
