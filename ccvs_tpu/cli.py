@@ -311,6 +311,13 @@ def _generate(args):
                            vid_lbl=dev.get("vid_lbl"), layout=dev.get("layout"),
                            rec=True,
                            fake=not args.rec_only, keep_state=args.keep_state)
+        # category filename suffixes for class-conditional runs
+        # (`generator.py:200`: cat = categories[vid_lbl])
+        cats = None
+        if cfg.gpt.cat and cfg.data.categories:
+            lbl = batch.get("vid_lbl", out.get("vid_lbl"))
+            if lbl is not None:
+                cats = [cfg.data.categories[int(l)] for l in np.asarray(lbl)]
         if mesh is not None and jax.process_count() > 1:
             # multi-host: global outputs are not fully addressable from one
             # process — each host writes only its own rows, file ids derived
@@ -324,13 +331,14 @@ def _generate(args):
             gen.save_batch(result_path, i, gen_batch, real_rows,
                            out_local, fps=cfg.data.fps,
                            imagenet_norm=cfg.data.imagenet_norm,
-                           dataset=cfg.data.dataset, vid_ids=ids)
+                           dataset=cfg.data.dataset, vid_ids=ids, cats=cats)
         else:
             gen.save_batch(result_path, i, gen_batch, vid, out,
                            fps=cfg.data.fps,
                            imagenet_norm=cfg.data.imagenet_norm,
                            dataset=cfg.data.dataset,
-                           vid_ids=batch.get("vid_id") if args.include_id else None)
+                           vid_ids=batch.get("vid_id") if args.include_id else None,
+                           cats=cats)
     print(f"wrote results to {result_path}")
 
 

@@ -344,12 +344,22 @@ class VideoGenerator:
         return self.generate(params, rng, pad, n_ctx_frames=1, rec=False, **kw)
 
     def save_batch(self, result_path, global_iter, batch_size, real_vid, out,
-                   fps=4, imagenet_norm=False, dataset="bairhd", vid_ids=None):
+                   fps=4, imagenet_norm=False, dataset="bairhd", vid_ids=None,
+                   cats=None):
         """Write real/fake/rec videos (`helpers/generator.py:199-230`).
 
         ``vid_ids``: optional per-sample dataset ids used as file names
         (reference ``--include_id``, `generator.py:201` — aligns generated
-        clips with their source audio/metadata)."""
+        clips with their source audio/metadata). ``cats``: optional
+        per-sample category names appended as a filename suffix (reference
+        `save_video_batch` suffix, `generator.py:330-334`)."""
+
+        def _vid_name(i):
+            vid_id = (int(vid_ids[i]) if vid_ids is not None
+                      else batch_size * global_iter + i)
+            suffix = f"_{cats[i]}" if cats is not None else ""
+            return f"vid_{vid_id:05d}{suffix}.avi"
+
         names = {"real": np.asarray(real_vid)}
         if "fake" in out:
             names["fake"] = np.asarray(out["fake"])
@@ -358,9 +368,7 @@ class VideoGenerator:
         for name, vid in names.items():
             u8 = video_io.to_uint8(vid, imagenet_norm=imagenet_norm)
             for i in range(u8.shape[0]):
-                vid_id = (int(vid_ids[i]) if vid_ids is not None
-                          else batch_size * global_iter + i)
-                path = os.path.join(result_path, name, f"vid_{vid_id:05d}.avi")
+                path = os.path.join(result_path, name, _vid_name(i))
                 video_io.write_video(path, u8[i], fps=fps)
         # colormapped layout videos (`helpers/generator.py:225-230` +
         # `save_video_batch` ``is_layout`` postprocess at `:285-298`)
@@ -371,9 +379,7 @@ class VideoGenerator:
                     seg = seg.argmax(-1)
                 u8 = video_io.layout_to_uint8(seg)
                 for i in range(u8.shape[0]):
-                    vid_id = (int(vid_ids[i]) if vid_ids is not None
-                              else batch_size * global_iter + i)
-                    path = os.path.join(result_path, name, f"vid_{vid_id:05d}.avi")
+                    path = os.path.join(result_path, name, _vid_name(i))
                     video_io.write_video(path, u8[i], fps=fps)
         # state-marked copies
         for name, key in [("real_state", "state"), ("fake_state", "fake_state")]:
@@ -388,9 +394,7 @@ class VideoGenerator:
                         x = min(int(h * st[i, j, 0]), h - 1)
                         y = min(int(h * st[i, j, 1]), h - 1)
                         marked[j] = video_io.draw_cross(marked[j], x, y)
-                    vid_id = (int(vid_ids[i]) if vid_ids is not None
-                              else batch_size * global_iter + i)
-                    path = os.path.join(result_path, name, f"vid_{vid_id:05d}.avi")
+                    path = os.path.join(result_path, name, _vid_name(i))
                     video_io.write_video(path, marked, fps=fps)
 
 

@@ -389,6 +389,12 @@ def test_save_batch_include_id(tmp_path, rng):
                    vid_ids=np.asarray([42, 7]))
     assert (tmp_path / "real" / "vid_00042.avi").exists()
     assert (tmp_path / "fake" / "vid_00007.avi").exists()
+    # category filename suffixes (reference save_video_batch suffix,
+    # `generator.py:330-334`)
+    gen.save_batch(str(tmp_path / "cat"), 0, 2, vid, {"fake": vid},
+                   cats=["drums", "piano"])
+    assert (tmp_path / "cat" / "real" / "vid_00000_drums.avi").exists()
+    assert (tmp_path / "cat" / "fake" / "vid_00001_piano.avi").exists()
 
 
 def test_generate_stft_audio_conditioned(rng):
