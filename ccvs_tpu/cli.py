@@ -143,6 +143,20 @@ def main(argv=None):
                            help="int8 weight-quantized AR decode (1.5x "
                                 "tokens/sec; sampling distribution shifts "
                                 "slightly vs the exact bf16 path)")
+            p.add_argument("--step-by-step", action="store_true",
+                           help="interleave transformer chunks with frame "
+                                "decode + code correction (reference "
+                                "--step_by_step, generator.py:132-159)")
+            p.add_argument("--gen-from-img", action="store_true",
+                           help="treat each clip's first frame as a 1-frame "
+                                "context (reference --gen_from_img)")
+            p.add_argument("--down-size", type=int, default=None,
+                           help="degrade inputs to this size before encoding "
+                                "(reference --down_size)")
+            p.add_argument("--custom-state", action="store_true",
+                           help="drive generation with the square-path state "
+                                "trajectory from each clip's estimated "
+                                "initial state (reference --custom_state)")
 
     for task in ("eval-fvd", "eval-metrics"):
         p = sub.add_parser(task)
@@ -307,10 +321,24 @@ def _generate(args):
         rng, sub = jax.random.split(rng)
         # --rec-only: reconstruction-quality runs, no AR generation
         # (the old wiring inverted this and disabled rec instead)
-        out = gen.generate(params, sub, vid, stft=dev.get("stft"),
-                           vid_lbl=dev.get("vid_lbl"), layout=dev.get("layout"),
-                           rec=True,
-                           fake=not args.rec_only, keep_state=args.keep_state)
+        if args.step_by_step:
+            out = gen.generate_step_by_step(params, sub, vid)
+        elif args.gen_from_img:
+            # 1-frame context, no reconstruction (`generator.py:172,278-279`)
+            out = gen.generate_from_image(params, sub, vid[:, 0],
+                                          vid_len=vid.shape[1],
+                                          down_size=args.down_size)
+        else:
+            custom = None
+            if args.custom_state and state_model is not None:
+                custom = gen.custom_square_state(params, vid)
+            out = gen.generate(params, sub, vid, stft=dev.get("stft"),
+                               vid_lbl=dev.get("vid_lbl"),
+                               layout=dev.get("layout"), rec=True,
+                               fake=not args.rec_only,
+                               keep_state=args.keep_state,
+                               custom_state=custom,
+                               down_size=args.down_size)
         # category filename suffixes for class-conditional runs
         # (`generator.py:200`: cat = categories[vid_lbl])
         cats = None

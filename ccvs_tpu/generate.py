@@ -334,6 +334,15 @@ class VideoGenerator:
             frames.append(real_vid[:, -1])
         return {"fake": jnp.stack(frames, axis=1)}
 
+    def custom_square_state(self, params, real_vid):
+        """Square-path trajectory from each clip's estimated initial state
+        (reference `--custom_state`, `generator.py:112-115`: init_state is
+        the state estimate at frame 0)."""
+        enc = self.ae.encode(params["ae"], real_vid[:, :1])
+        z = self.ae.embed_code(params["ae"], enc["code"])
+        init = self.state_model.estimate(params["state"], z)  # (B, 1, 2)
+        return square_trajectory(init, real_vid.shape[1])
+
     def generate_from_image(self, params, rng, img, vid_len=None, **kw):
         """Generate a video from a single frame (reference `--gen_from_img`,
         `generator.py:278-279`): treat the image as a 1-frame context."""

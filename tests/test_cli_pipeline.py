@@ -114,6 +114,25 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert (recres / "rec").is_dir()
     assert not (recres / "fake").exists()
 
+    # 8. --step-by-step: per-frame chunk generation + code correction
+    #    (reference --step_by_step, generator.py:132-159)
+    cli.main(["generate", "--load-config", str(cfg_path),
+              "--save-path", str(tmp_path), "--name", "clitinystep",
+              "--n-batches", "1", "--step-by-step",
+              "--ae-ckpt", str(ae_ckpt), "--gpt-ckpt", str(ae_ckpt)])
+    stepres = tmp_path / "results" / "clitinystep"
+    assert len(list((stepres / "fake").glob("*.avi"))) == TINY_DATA.batch_size_vid
+
+    # 9. --gen-from-img: 1-frame context, no reconstruction
+    #    (reference --gen_from_img, generator.py:172,278-279)
+    cli.main(["generate", "--load-config", str(cfg_path),
+              "--save-path", str(tmp_path), "--name", "clitinyimg",
+              "--n-batches", "1", "--gen-from-img", "--down-size", "8",
+              "--ae-ckpt", str(ae_ckpt), "--gpt-ckpt", str(ae_ckpt)])
+    imgres = tmp_path / "results" / "clitinyimg"
+    assert (imgres / "fake").is_dir()
+    assert not (imgres / "rec").exists()
+
 
 def test_cli_layout_pipeline(tmp_path):
     """Layout twins end-to-end through the CLI: train the AE with layout
