@@ -157,6 +157,9 @@ def main(argv=None):
                            help="drive generation with the square-path state "
                                 "trajectory from each clip's estimated "
                                 "initial state (reference --custom_state)")
+            p.add_argument("--fold", type=int, default=None,
+                           help="valid data fold to generate from (reference "
+                                "--init_fold_valid with --num_folds_valid)")
 
     for task in ("eval-fvd", "eval-metrics"):
         p = sub.add_parser(task)
@@ -295,7 +298,8 @@ def _generate(args):
         params["stft"] = CheckpointManager(args.stft_ckpt).load("stft", "best")["params"]
 
     gen = VideoGenerator(cfg, ae, tr, state_model, stft_model)
-    ds = create_dataset(cfg.data, phase="valid", load_vid=True)
+    ds = create_dataset(cfg.data, phase="valid",
+                        load_vid=not args.gen_from_img, fold=args.fold)
     # reference applies the valid batch multiplier + optional valid shuffle
     # at the generator's loader (`helpers/generator.py:240`, `options.py:55,91`)
     gen_batch = cfg.data.batch_size_vid * cfg.data.batch_size_valid_mult
@@ -314,6 +318,11 @@ def _generate(args):
         except StopIteration:
             it = iter(loader)
             batch = next(it)
+        if args.gen_from_img and "img" in batch:
+            # image loader feeds 1-frame contexts (`generator.py:279-280`:
+            # data["vid"] = data.pop("img").unsqueeze(1))
+            img = batch.pop("img")
+            batch["vid"] = img[:, None] if img.ndim == 4 else img[:, :1]
         dev = put_batch(mesh, {k: batch[k]
                                for k in ("vid", "stft", "vid_lbl", "layout")
                                if k in batch})
@@ -326,7 +335,7 @@ def _generate(args):
         elif args.gen_from_img:
             # 1-frame context, no reconstruction (`generator.py:172,278-279`)
             out = gen.generate_from_image(params, sub, vid[:, 0],
-                                          vid_len=vid.shape[1],
+                                          vid_len=cfg.data.vid_len,
                                           down_size=args.down_size)
         else:
             custom = None
