@@ -226,6 +226,15 @@ def test_generate_keep_state_and_custom(rng):
     out2 = gen.generate(params, jax.random.PRNGKey(2), vid, rec=False, custom_state=traj)
     assert out2["fake"].shape == (1, 4, 8, 8, 3)
 
+    # CLI --custom-state helper: square trajectory seeded from the clip's
+    # estimated initial state (`generator.py:112-115`)
+    traj2 = gen.custom_square_state(params, vid)
+    assert traj2.shape == (1, 4, 2)
+    assert np.isfinite(np.asarray(traj2)).all()
+    out3 = gen.generate(params, jax.random.PRNGKey(3), vid, rec=False,
+                        custom_state=traj2)
+    assert out3["fake"].shape == (1, 4, 8, 8, 3)
+
 
 def test_generate_from_image(rng):
     ae, tr, params = _models()
