@@ -115,7 +115,9 @@ def main():
         return np.asarray(out["fake"][:, -1, :2, :2, 0])
 
     # compile + warmup
+    t0 = time.perf_counter()
     run(jax.random.PRNGKey(1))
+    compile_s = round(time.perf_counter() - t0, 1)
     run(jax.random.PRNGKey(2))
 
     # Deadline-aware measurement (round-3 lesson: 6 iters x 45 s gaps blew
@@ -150,6 +152,7 @@ def main():
                     "iters": len(times),
                     "iter_times_s": [round(t, 3) for t in times],
                     "baseline_is_estimate": True,
+                    "compile_s": compile_s,
                     **serve_info,
                 }
             ),
