@@ -154,67 +154,33 @@ def run_eval(n_batches):
 NPZ = os.path.join(SAVE, "mid_weights_fp16.npz")
 
 
-def _flatten(tree, prefix=""):
-    import numpy as np
-    from flax import serialization
-
-    out = {}
-
-    def rec(d, pre):
-        for k, v in d.items():
-            key = f"{pre}/{k}" if pre else k
-            if isinstance(v, dict):
-                rec(v, key)
-            else:
-                out[key] = np.asarray(v).astype(np.float16)
-    rec(serialization.to_state_dict(tree), prefix)
-    return out
-
-
-def _unflatten(flat, prefix):
-    import numpy as np
-
-    root = {}
-    for key, v in flat.items():
-        if not key.startswith(prefix + "/"):
-            continue
-        parts = key[len(prefix) + 1:].split("/")
-        d = root
-        for p in parts[:-1]:
-            d = d.setdefault(p, {})
-        d[parts[-1]] = np.asarray(v, dtype=np.float32)
-    return root
-
-
 def run_export():
     """Persist the trained raw-G AE + GPT params as a committable fp16 npz
     (orbax checkpoint dirs are gitignored and the sandbox disk resets
     between sessions, so uncommitted weights are lost)."""
-    import numpy as np
-
+    from ccvs_tpu.port.npz_params import save_params_npz
     from ccvs_tpu.utils.checkpoint import CheckpointManager
 
     ae = CheckpointManager(os.path.join(SAVE, "checkpoints", AE_NAME))
     gpt = CheckpointManager(os.path.join(SAVE, "checkpoints", GPT_NAME))
-    flat = _flatten(ae.load("qvid", "latest")["gen"], "ae_gen")
-    flat.update(_flatten(gpt.load("transformer", "latest")["params"], "gpt"))
-    np.savez_compressed(NPZ, **flat)
+    save_params_npz(NPZ,
+                    ae_gen=ae.load("qvid", "latest")["gen"],
+                    gpt=gpt.load("transformer", "latest")["params"])
     mb = os.path.getsize(NPZ) / 1e6
-    print(f"exported {len(flat)} arrays to {NPZ} ({mb:.1f} MB)")
+    print(f"exported {NPZ} ({mb:.1f} MB)")
 
 
 def run_import():
     """Rebuild orbax checkpoints (the shapes `cli.py generate` loads:
     qvid->{gen}, transformer->{params}) from the committed fp16 npz."""
-    import numpy as np
-
+    from ccvs_tpu.port.npz_params import load_params_npz
     from ccvs_tpu.utils.checkpoint import CheckpointManager
 
-    flat = dict(np.load(NPZ))
+    trees = load_params_npz(NPZ, "ae_gen", "gpt")
     ae = CheckpointManager(os.path.join(SAVE, "checkpoints", AE_NAME))
-    ae.save("qvid", 0, {"gen": _unflatten(flat, "ae_gen")}, latest=True)
+    ae.save("qvid", 0, {"gen": trees["ae_gen"]}, latest=True)
     gpt = CheckpointManager(os.path.join(SAVE, "checkpoints", GPT_NAME))
-    gpt.save("transformer", 0, {"params": _unflatten(flat, "gpt")}, latest=True)
+    gpt.save("transformer", 0, {"params": trees["gpt"]}, latest=True)
     print("rebuilt", AE_NAME, "and", GPT_NAME, "checkpoints from", NPZ)
 
 

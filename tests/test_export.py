@@ -223,3 +223,38 @@ def test_explicit_missing_vgg_npz_raises(tmp_path):
         from ccvs_tpu.eval.metrics import LPIPS
 
         LPIPS(vgg_npz=str(tmp_path / "nope.npz"))
+
+
+def test_npz_params_round_trip(tmp_path):
+    """Single-file weight persistence (`ccvs_tpu/port/npz_params.py`): the
+    TPU-native stand-in for the reference's single-file `.pth` shipping
+    (reference models/__init__.py:5-26). Floats round-trip through fp16
+    storage; ints keep their dtype; prefixes keep multiple trees apart."""
+    from ccvs_tpu.port.npz_params import (load_params_npz, save_params_npz,
+                                          unflatten_params, flatten_params)
+
+    rng = np.random.default_rng(0)
+    ae = {"conv": {"kernel": rng.standard_normal((3, 3, 4, 8)).astype(np.float32),
+                   "bias": np.zeros(8, np.float32)},
+          "steps": np.array(7, np.int32)}
+    gpt = {"blocks_0": {"w": rng.standard_normal((16, 16)).astype(np.float32)}}
+
+    path = str(tmp_path / "w.npz")
+    save_params_npz(path, ae_gen=ae, gpt=gpt)
+    out = load_params_npz(path, "ae_gen", "gpt")
+
+    assert out["ae_gen"]["conv"]["kernel"].dtype == np.float32
+    assert np.allclose(out["ae_gen"]["conv"]["kernel"],
+                       ae["conv"]["kernel"], atol=1e-3)
+    assert out["ae_gen"]["steps"].dtype == np.int32  # ints never cast
+    assert out["ae_gen"]["steps"] == 7
+    assert np.allclose(out["gpt"]["blocks_0"]["w"], gpt["blocks_0"]["w"],
+                       atol=1e-3)
+    with pytest.raises(KeyError):
+        load_params_npz(path, "nope")
+
+    # flax FrozenDict-style trees flatten through to_state_dict too
+    flat = flatten_params({"a": {"b": jnp.ones((2,), jnp.float32)}}, "t")
+    assert set(flat) == {"t/a/b"} and flat["t/a/b"].dtype == np.float16
+    back = unflatten_params(flat, "t")
+    assert back["a"]["b"].dtype == np.float32
