@@ -63,6 +63,13 @@ def main():
     def run_C():
         return fused(params, codes, ctx)
 
+    def dump():
+        out = {"shapes": f"B={B} T={T} 256px kb-buckets={acfg.decode_buckets}",
+               "variants": variants}
+        os.makedirs("runs_r4", exist_ok=True)
+        with open("runs_r4/dispatch_ab.json", "w") as f:
+            json.dump(out, f, indent=1)
+
     order = []
     for name, fn in [("A_buckets", run_A), ("B_single_bucket", run_B),
                      ("C_outer_jit", run_C)]:
@@ -72,10 +79,12 @@ def main():
         except Exception as e:
             variants[name] = {"error": repr(e)[:300]}
             print(f"{name}: FAILED {e!r}", flush=True)
+            dump()
             continue
         variants[name] = {"compile_s": round(time.time() - t0, 1), "times": []}
         order.append((name, fn))
         print(f"{name}: compiled in {variants[name]['compile_s']}s", flush=True)
+        dump()
 
     # interleaved timing: 4 rounds of A,B,C back-to-back
     for r in range(4):
@@ -83,8 +92,10 @@ def main():
             t0 = time.perf_counter()
             sync(fn())
             variants[name]["times"].append(round(time.perf_counter() - t0, 4))
+        dump()
+        print(f"round {r}: " + " ".join(
+            f"{n}={variants[n]['times'][-1]:.3f}s" for n, _ in order), flush=True)
 
-    out = {"shapes": f"B={B} T={T} 256px kb-buckets={acfg.decode_buckets}"}
     base = None
     for name in variants:
         v = variants[name]
@@ -96,11 +107,8 @@ def main():
     for name, v in variants.items():
         if base and "min_s" in v:
             v["speedup_vs_A"] = round(base / v["min_s"], 4)
-    out["variants"] = variants
-    print(json.dumps(out, indent=1))
-    os.makedirs("runs_r4", exist_ok=True)
-    with open("runs_r4/dispatch_ab.json", "w") as f:
-        json.dump(out, f, indent=1)
+    dump()
+    print(json.dumps({"variants": variants}, indent=1))
 
 
 if __name__ == "__main__":
