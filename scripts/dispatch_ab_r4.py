@@ -11,7 +11,14 @@ tunnel drift cancels:
   C. one outer jit around the whole bucketed rollout (1 dispatch AND
      minimal FLOPs; risk: a big program for the remote compiler)
 
-    python scripts/dispatch_ab_r4.py
+    python scripts/dispatch_ab_r4.py          # 256px bench shapes
+    python scripts/dispatch_ab_r4.py --mid    # 64px mid config
+
+`--mid` exists because the 256px variant-A compile did not return after 23
+minutes in a sustained slow-tunnel window (session 2): the 64px mid config
+compiles in minutes and still answers the dispatch-count question — the
+~29 ms per-program dispatch overhead is a fixed cost, so its share is LARGER
+at 64px; a null result there bounds the 256px effect from above.
 """
 
 import json
@@ -32,19 +39,26 @@ def sync(x):
 
 
 def main():
+    mid = "--mid" in sys.argv[1:]
     from ccvs_tpu.config import bairhd_config
     from ccvs_tpu.models import FrameAutoencoder
 
     assert jax.default_backend() == "tpu"
-    cfg = bairhd_config()
+    if mid:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from fvd_mid_r4 import mid_cfg
+        cfg = mid_cfg()
+    else:
+        cfg = bairhd_config()
     # bench protocol shapes (bench.py): B=2, 16 frames, 1 ctx, kb=15
     acfg = cfg.ae
+    dim = acfg.max_dim
     ae = FrameAutoencoder(acfg, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     params = jax.jit(ae.init)(key)
     B, T = 2, 16
     codes = jax.random.randint(key, (B, T, acfg.tokens_per_frame), 0, acfg.z_num)
-    ctx = jax.random.uniform(key, (B, 1, 256, 256, 3), jnp.float32, -1, 1)
+    ctx = jax.random.uniform(key, (B, 1, dim, dim, 3), jnp.float32, -1, 1)
 
     variants = {}
 
@@ -63,11 +77,13 @@ def main():
     def run_C():
         return fused(params, codes, ctx)
 
+    out_path = "runs_r4/dispatch_ab_mid.json" if mid else "runs_r4/dispatch_ab.json"
+
     def dump():
-        out = {"shapes": f"B={B} T={T} 256px kb-buckets={acfg.decode_buckets}",
+        out = {"shapes": f"B={B} T={T} {dim}px kb-buckets={acfg.decode_buckets}",
                "variants": variants}
         os.makedirs("runs_r4", exist_ok=True)
-        with open("runs_r4/dispatch_ab.json", "w") as f:
+        with open(out_path, "w") as f:
             json.dump(out, f, indent=1)
 
     order = []
