@@ -402,6 +402,12 @@ class Config:
     # extra HBM), the disk serialization runs on background threads
     # (utils/checkpoint.py). Opt-in this round for queued-run stability.
     async_ckpt: bool = False
+    # when set, every `latest` checkpoint write ALSO merge-writes the
+    # inference params into this single committable fp16 npz
+    # (port/npz_params.py) — trained weights survive a kill at any point
+    # (the reference persists every net per-iteration,
+    # reference models/__init__.py:5-26)
+    npz_mirror: str = ""
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -210,7 +210,9 @@ def fvd_from_videos(real: np.ndarray, fake: np.ndarray, embed: Optional[Callable
     key = "fvd" if calibrated else "fvd_uncalibrated"
     a = embeddings_from_videos(real, embed, resize=resize)
     b = embeddings_from_videos(fake, embed, resize=resize)
-    out = {key: frechet_distance(a, b)}
+    # machine-readable marker so downstream JSON artifacts can't silently
+    # present fallback-embedder numbers as published-protocol FVD
+    out = {key: frechet_distance(a, b), "fallback_embedder": not calibrated}
     if chunk:
         vals = [
             frechet_distance(a[i : i + chunk], b[i : i + chunk])

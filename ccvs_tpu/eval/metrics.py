@@ -139,4 +139,7 @@ def video_metrics(real_vids: np.ndarray, fake_vids: np.ndarray,
         "psnr": float(np.mean(psnrs)),
         "ssim": float(np.mean(ssims)),
         lpips_key: float(np.mean(lps)),
+        # machine-readable marker (PSNR/SSIM are exact regardless; only the
+        # perceptual key degrades without vendored calibrated weights)
+        "lpips_fallback_weights": not lp.calibrated,
     }

@@ -73,6 +73,35 @@ def save_params_npz(path: str, **trees: Any) -> None:
     np.savez_compressed(path, **flat)
 
 
+def update_params_npz(path: str, **trees: Any) -> None:
+    """Merge-write named trees into ``path`` atomically.
+
+    Existing trees whose prefix is not being replaced are preserved, so two
+    trainers can mirror into ONE committable file (frame-AE writes ``ae_gen``,
+    the transformer later merges ``gpt`` without losing it — the durability
+    bar is the reference's per-iteration `save_network`,
+    reference models/__init__.py:5-26). The write goes to a ``.tmp`` sibling
+    and is renamed into place, so a kill mid-write never corrupts the last
+    good file.
+    """
+    import os
+
+    flat: Dict[str, np.ndarray] = {}
+    if os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                for key in z.files:
+                    if key.split("/", 1)[0] not in trees:
+                        flat[key] = z[key]
+        except (OSError, ValueError):
+            pass  # prior file corrupt/partial: overwrite with fresh trees
+    for name, tree in trees.items():
+        flat.update(flatten_params(tree, name))
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **flat)
+    os.replace(tmp, path)
+
+
 def load_params_npz(path: str, *names: str) -> Dict[str, Any]:
     """Load named param trees saved by :func:`save_params_npz`."""
     with np.load(path) as z:

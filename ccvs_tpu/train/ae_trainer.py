@@ -152,7 +152,14 @@ class FrameAutoencoderTrainer:
         n_iter = n_iter or cfg.n_iter
         ckpt_path = os.path.join(cfg.save_path, "checkpoints", cfg.name)
         log_path = os.path.join(cfg.save_path, "logs", cfg.name)
-        ckpt = CheckpointManager(ckpt_path, async_save=cfg.async_ckpt)
+        mirror = None
+        if cfg.npz_mirror:
+            # mirror the raw generator (short runs: the 0.999 EMA is still
+            # init-dominated, TRAINRUN.md) into the committable npz on every
+            # latest save — kill-proof trained weights (VERDICT r4 item 2)
+            mirror = (cfg.npz_mirror, lambda state: {"ae_gen": state.gen})
+        ckpt = CheckpointManager(ckpt_path, async_save=cfg.async_ckpt,
+                                 npz_mirror=mirror)
         os.makedirs(os.path.join(cfg.save_path, "checkpoints", cfg.name), exist_ok=True)
         with open(os.path.join(cfg.save_path, "checkpoints", cfg.name, "config.json"), "w") as f:
             f.write(cfg.to_json())

@@ -32,10 +32,20 @@ class CheckpointManager:
     at any instant leaves a complete, loadable latest on disk.
     """
 
-    def __init__(self, path: str, async_save: bool = False):
+    def __init__(self, path: str, async_save: bool = False, npz_mirror=None):
+        """``npz_mirror=(npz_path, extract_fn)``: after every durable
+        ``latest`` write, also merge-write ``extract_fn(tree)`` (a
+        ``{name: subtree}`` dict) into a single committable fp16 npz via
+        :func:`ccvs_tpu.port.npz_params.update_params_npz`. This makes
+        trained weights kill-proof by construction — a SIGTERM/SIGKILL at
+        ANY point after the first save leaves a loadable single-file npz
+        (the reference persists every net per-iteration,
+        reference models/__init__.py:5-26; orbax dirs here are gitignored
+        on a disk that resets between sessions)."""
         self.path = os.path.abspath(path)
         os.makedirs(self.path, exist_ok=True)
         self.async_save = async_save
+        self.npz_mirror = npz_mirror
         self._pending_deletes = []
         if async_save:
             self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
@@ -96,6 +106,11 @@ class CheckpointManager:
                 self._ckptr.wait_until_finished()
                 for p in olds:
                     shutil.rmtree(p, ignore_errors=True)
+        if latest and self.npz_mirror is not None:
+            from ccvs_tpu.port.npz_params import update_params_npz
+
+            npz_path, extract = self.npz_mirror
+            update_params_npz(npz_path, **extract(tree))
 
     def _flush_deletes(self):
         """Remove rolling predecessors whose replacement is now durable.
