@@ -39,16 +39,21 @@ VID_LEN = 16
 N_CTX = 1
 
 
-# GPT int8-serving quality gate (on-chip, trained weights; see
-# scripts/int8_gate_r3.py). The bench turns on the int8 AR decode ONLY when
-# the committed gate artifact passes these thresholds; CCVS_BENCH_SERVE=exact
-# forces the exact-bf16 path. (Int8 decoder-conv and int8 warp-source serving
-# variants were also built and gate-measured SLOWER than exact on v5e —
-# runs_r3/dec_quant_gate.json — and were removed; scripts/PERF_NOTES.md.)
-GPT_GATE = "runs_r4/int8_gate.json"
-GPT_GATE_FALLBACKS = ("runs_r3/int8_gate.json",)
+# GPT int8-serving gate (on-chip, trained weights; see
+# scripts/int8_gate_r5.py). The bench turns on the int8 AR decode ONLY when
+# the committed gate artifact passes the quality thresholds AND records a
+# measured within-run END-TO-END speedup > 1 on the full bench pipeline —
+# a serving mode that is slower AND approximate must never win (round-4's
+# artifact measured int8 3.7x SLOWER e2e yet the bench served it because
+# the gate was quality-only; VERDICT r4 item 3). CCVS_BENCH_SERVE=exact
+# forces the exact-bf16 path. (Int8 decoder-conv and int8 warp-source
+# serving variants were also built and gate-measured SLOWER than exact on
+# v5e — runs_r3/dec_quant_gate.json — and were removed; scripts/PERF_NOTES.md.)
+GPT_GATE = "runs_r5/int8_gate.json"
+GPT_GATE_FALLBACKS = ()
 GPT_AGREE_MIN = 0.97    # same-key sampled-token agreement at T=1/top-k 100
 GPT_TV_MAX = 0.05       # mean total variation of the top-k distribution
+GPT_E2E_SPEEDUP_MIN = 1.0   # full-pipeline frames/s, int8 vs exact, same run
 
 
 def _load(path):
@@ -83,9 +88,19 @@ def serving_mode():
                   f"on backend={gpt.get('backend')!r}, not the TPU serving "
                   "path; staying on exact bf16", file=sys.stderr)
             continue
-        info["serving"] = "int8 AR decode (quality-gated)"
+        speedup = gpt.get("int8_e2e_speedup")
+        if not (isinstance(speedup, (int, float))
+                and speedup > GPT_E2E_SPEEDUP_MIN):
+            print(f"bench: int8 gate {path} passes quality but its measured "
+                  f"end-to-end speedup is {speedup!r} (need > "
+                  f"{GPT_E2E_SPEEDUP_MIN}); an approximate mode that is not "
+                  "faster must not serve — staying on exact bf16",
+                  file=sys.stderr)
+            continue
+        info["serving"] = "int8 AR decode (quality+speed gated)"
         info["gpt_int8_agreement"] = gpt["token_agreement"]
         info["gpt_int8_topk_tv"] = gpt["topk_tv_mean"]
+        info["gpt_int8_e2e_speedup"] = speedup
         info["gpt_int8_gate"] = path
         return True, info
     return False, info

@@ -99,7 +99,12 @@ class TransformerTrainer:
             out["state_code"] = benc["code"].reshape(b, -1)
         return out
 
-    def run(self, n_iter=None, resume=False):
+    def run(self, n_iter=None, resume=False, serialize_steps=False):
+        """``serialize_steps``: force a tiny device->host transfer after each
+        jitted step (as in ``FrameAutoencoderTrainer.run``). Without it the
+        loop is fully async on this backend, so metrics.jsonl ``t`` stamps
+        are ENQUEUE times, not step times (ADVICE r4), and a preemption save
+        can land many enqueued-but-unexecuted steps ahead of the log."""
         cfg = self.cfg
         n_iter = n_iter or cfg.n_iter
         mirror = None
@@ -182,6 +187,8 @@ class TransformerTrainer:
                         tstate, metrics = self.step(tstate, tokens)
                 else:
                     tstate, metrics = self.step(tstate, tokens)
+                if serialize_steps:
+                    np.asarray(metrics["nll"]).reshape(-1)[:1]
                 logger.log_scalars(metrics, it, prefix="transformer/")
                 if cfg.log_freq and it % cfg.log_freq == 0:
                     el = time.time() - t0

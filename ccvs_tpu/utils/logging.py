@@ -74,6 +74,11 @@ class Logger:
             self.jsonl = open(os.path.join(log_path, "metrics.jsonl"), "a")
 
     def log_scalar(self, name, value, step):
+        """``t`` is stamped when the value reaches the host. Under fully
+        async dispatch (a train loop with no per-step sync) that is ENQUEUE
+        time, not step-completion time — t-deltas are then not step times
+        (ADVICE r4). Trainers that want timing-grade t pass
+        ``serialize_steps=True`` (a per-step device->host sync)."""
         if not self.is_main or value is None:
             return
         v = float(value)

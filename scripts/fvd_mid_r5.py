@@ -122,7 +122,9 @@ def run_gpt(preset, n_iter):
     # still mostly init (TRAINRUN.md round-3/4 measurements)
     ae_params = ckpt.load("qvid", "latest")["gen"]
     resume = os.path.isdir(os.path.join(SAVE, "checkpoints", gpt_name))
-    TransformerTrainer(cfg, ae_params).run(resume=resume)
+    # serialize_steps: real step-completion `t` stamps in metrics.jsonl
+    # (ADVICE r4) and preemption saves aligned with executed steps
+    TransformerTrainer(cfg, ae_params).run(resume=resume, serialize_steps=True)
 
 
 def run_verify(preset):

@@ -28,12 +28,38 @@ def test_no_gate_exact(bench_mod):
 def test_passing_gate_enables_int8(bench_mod):
     _write(bench_mod.GPT_GATE, {
         "trained_weights": True, "token_agreement": 0.991, "topk_tv_mean": 0.012,
-        "backend": "tpu",
+        "backend": "tpu", "int8_e2e_speedup": 1.21,
     })
     gpt_int8, info = bench_mod.serving_mode()
     assert gpt_int8 is True
     assert info["serving"].startswith("int8")
     assert info["gpt_int8_agreement"] == 0.991
+    assert info["gpt_int8_e2e_speedup"] == 1.21
+
+
+def test_quality_pass_but_slower_stays_exact(bench_mod, capsys):
+    """Round-4 regression (VERDICT r4 item 2-weak): the gate artifact itself
+    measured int8 3.7x SLOWER end-to-end yet the bench served int8 because
+    the gate checked quality only. A slower approximate mode must never win."""
+    _write(bench_mod.GPT_GATE, {
+        "trained_weights": True, "token_agreement": 0.993, "topk_tv_mean": 0.004,
+        "backend": "tpu", "int8_e2e_speedup": 0.272,
+    })
+    gpt_int8, info = bench_mod.serving_mode()
+    assert gpt_int8 is False and info["serving"] == "exact-bf16"
+    assert "speedup" in capsys.readouterr().err
+
+
+def test_quality_pass_but_no_speed_field_stays_exact(bench_mod, capsys):
+    """Legacy quality-only artifacts (rounds 2-4) must no longer authorize
+    int8: without a measured e2e speedup the bench stays exact."""
+    _write(bench_mod.GPT_GATE, {
+        "trained_weights": True, "token_agreement": 0.993, "topk_tv_mean": 0.004,
+        "backend": "tpu",
+    })
+    gpt_int8, _ = bench_mod.serving_mode()
+    assert gpt_int8 is False
+    assert "speedup" in capsys.readouterr().err
 
 
 def test_failing_quality_stays_exact(bench_mod):
@@ -78,7 +104,7 @@ def test_fallback_gate_used(bench_mod, tmp_path, monkeypatch):
     fb = tmp_path / "fallback.json"
     _write(fb, {
         "trained_weights": True, "token_agreement": 0.995, "topk_tv_mean": 0.004,
-        "backend": "tpu",
+        "backend": "tpu", "int8_e2e_speedup": 1.1,
     })
     monkeypatch.setattr(bench_mod, "GPT_GATE_FALLBACKS", (str(fb),))
     gpt_int8, info = bench_mod.serving_mode()
@@ -88,7 +114,7 @@ def test_fallback_gate_used(bench_mod, tmp_path, monkeypatch):
 def test_env_forces_exact(bench_mod, monkeypatch):
     _write(bench_mod.GPT_GATE, {
         "trained_weights": True, "token_agreement": 0.999, "topk_tv_mean": 0.001,
-        "backend": "tpu",
+        "backend": "tpu", "int8_e2e_speedup": 1.5,
     })
     monkeypatch.setenv("CCVS_BENCH_SERVE", "exact")
     gpt_int8, info = bench_mod.serving_mode()
