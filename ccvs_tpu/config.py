@@ -165,6 +165,14 @@ class AutoencoderConfig:
 
     # training
     lr: float = 0.002
+    # opt-in step decay (beyond-reference knob; defaults keep the
+    # reference's constant LR, `quantized_video_model.py:239-243`): after
+    # ``lr_decay_at`` optimizer UPDATES (not trainer iterations — one
+    # iteration applies an img update plus a vid update every
+    # ``vid_step_every``), scale the LR by ``lr_decay_mult``. Built for the
+    # round-5 plateau diagnostic (TRAINRUN.md).
+    lr_decay_at: int = 0
+    lr_decay_mult: float = 1.0
     beta1: float = 0.0
     beta2: float = 0.99
     weight_decay: float = 0.0

@@ -43,8 +43,19 @@ def make_ae_optimizers(cfg: AutoencoderConfig):
     (`quantized_video_model.py:239-243`)."""
     g_ratio = cfg.g_reg_every / (cfg.g_reg_every + 1) if cfg.g_reg_every else 1.0
     d_ratio = cfg.d_reg_every / (cfg.d_reg_every + 1) if cfg.d_reg_every else 1.0
-    opt_g = optax.adam(cfg.lr * g_ratio, b1=cfg.beta1**g_ratio, b2=cfg.beta2**g_ratio)
-    opt_d = optax.adam(cfg.lr * d_ratio, b1=cfg.beta1**d_ratio, b2=cfg.beta2**d_ratio)
+
+    def lr_of(base):
+        # opt-in step decay (cfg.lr_decay_at, in optimizer updates); the
+        # default keeps the reference's constant LR
+        if cfg.lr_decay_at:
+            return optax.piecewise_constant_schedule(
+                base, {cfg.lr_decay_at: cfg.lr_decay_mult})
+        return base
+
+    opt_g = optax.adam(lr_of(cfg.lr * g_ratio), b1=cfg.beta1**g_ratio,
+                       b2=cfg.beta2**g_ratio)
+    opt_d = optax.adam(lr_of(cfg.lr * d_ratio), b1=cfg.beta1**d_ratio,
+                       b2=cfg.beta2**d_ratio)
     return opt_g, opt_d
 
 

@@ -490,3 +490,37 @@ def test_remat_losses_match(rng):
 
     (l0, _), (l1, _) = d_img(losses), d_img(losses_r)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+
+
+def test_ae_lr_step_decay():
+    """Opt-in LR step decay (round-5 plateau diagnostic knob): updates after
+    ``lr_decay_at`` optimizer steps shrink by ``lr_decay_mult``; defaults
+    keep the reference's constant LR."""
+    import dataclasses
+
+    import optax
+
+    from ccvs_tpu.config import AutoencoderConfig
+    from ccvs_tpu.train.states import make_ae_optimizers
+
+    cfg = AutoencoderConfig(lr=0.1, beta1=0.0, beta2=0.99,
+                            lr_decay_at=2, lr_decay_mult=0.25)
+    opt_g, _ = make_ae_optimizers(cfg)
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+    state = opt_g.init(params)
+    steps = []
+    for _ in range(4):
+        updates, state = opt_g.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        steps.append(float(jnp.abs(updates["w"][0])))
+    # constant-gradient adam: |update| == lr; decays by mult at the boundary
+    np.testing.assert_allclose(steps[0], steps[1], rtol=1e-5)
+    np.testing.assert_allclose(steps[2] / steps[1], 0.25, rtol=1e-3)
+    np.testing.assert_allclose(steps[3] / steps[1], 0.25, rtol=1e-3)
+
+    default_g, _ = make_ae_optimizers(AutoencoderConfig(lr=0.1))
+    s = default_g.init(params)
+    u1, s = default_g.update(grads, s, params)
+    u2, s = default_g.update(grads, s, params)
+    np.testing.assert_allclose(float(u1["w"][0]), float(u2["w"][0]), rtol=1e-5)
