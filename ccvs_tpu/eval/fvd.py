@@ -218,6 +218,12 @@ def fvd_from_videos(real: np.ndarray, fake: np.ndarray, embed: Optional[Callable
             frechet_distance(a[i : i + chunk], b[i : i + chunk])
             for i in range(0, len(a) - chunk + 1, chunk)
         ]
-        out[key + "_mean"] = float(np.mean(vals))
-        out[key + "_std"] = float(np.std(vals))
+        if vals:
+            out[key + "_mean"] = float(np.mean(vals))
+            out[key + "_std"] = float(np.std(vals))
+        else:
+            # fewer videos than one chunk: emit a note instead of NaN stats
+            out[key + "_chunk_note"] = (
+                f"n={len(a)} < chunk={chunk}: no per-chunk mean/std; "
+                "the headline key is the full-set distance")
     return out
