@@ -55,6 +55,30 @@ GPT_AGREE_MIN = 0.97    # same-key sampled-token agreement at T=1/top-k 100
 GPT_TV_MAX = 0.05       # mean total variation of the top-k distribution
 GPT_E2E_SPEEDUP_MIN = 1.0   # full-pipeline frames/s, int8 vs exact, same run
 
+# Fused-decode serving gate: run encode + the whole bucketed decode rollout
+# as single jit programs (cfg.ae.serve_fused) — numerically identical, but
+# eliminates the eager glue whose per-op remote dispatches dominate rollout
+# wall time (23.8x at 64px, runs_r5/dispatch_ab_mid.json). Authorized ONLY
+# by the 256px artifact (scripts/dispatch_ab_r5.py --full): the one open
+# risk at 256px is the outer program vs the remote-compile service, so the
+# mid artifact must not flip the flagship bench. CCVS_BENCH_FUSED=off
+# forces the eager path.
+FUSED_GATE = "runs_r5/dispatch_ab.json"
+FUSED_SPEEDUP_MIN = 1.05
+
+
+def fused_mode():
+    """(serve_fused, info) from the 256px dispatch A/B artifact."""
+    if os.environ.get("CCVS_BENCH_FUSED", "auto") == "off":
+        return False, {"decode": "eager (forced)"}
+    ab = _load(FUSED_GATE)
+    v = (ab or {}).get("variants", {}).get("C_outer_jit", {})
+    if "error" not in v and v.get("speedup_vs_A", 0) >= FUSED_SPEEDUP_MIN:
+        return True, {"decode": "fused single-program (gated)",
+                      "fused_speedup_vs_eager": v["speedup_vs_A"],
+                      "fused_gate": FUSED_GATE}
+    return False, {"decode": "eager bucketed"}
+
 
 def _load(path):
     try:
@@ -111,6 +135,10 @@ def main():
     gpt_int8, serve_info = serving_mode()
     if gpt_int8:
         cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, serve_int8=True))
+    fused, fused_info = fused_mode()
+    serve_info.update(fused_info)
+    if fused:
+        cfg = cfg.replace(ae=dataclasses.replace(cfg.ae, serve_fused=True))
     ae = FrameAutoencoder(cfg.ae, dtype=jnp.bfloat16)
     tr = TokenTransformer(cfg.gpt, dtype=jnp.bfloat16)
     gen = VideoGenerator(cfg, ae, tr)

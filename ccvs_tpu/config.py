@@ -163,6 +163,14 @@ class AutoencoderConfig:
     layout_size: Optional[int] = None
     same_decoder_layout: bool = False
 
+    # serving: run encode + the whole bucketed decode rollout as single jit
+    # programs instead of eagerly-stitched per-bucket programs. The eager
+    # glue's per-op remote dispatches dominate rollout wall time on the
+    # tunneled v5e (23.8x at 64px, runs_r5/dispatch_ab_mid.json); numerics
+    # are identical (same graph, one program). Off by default: trainers and
+    # tests exercise the eager path; generation drivers opt in.
+    serve_fused: bool = False
+
     # training
     lr: float = 0.002
     # opt-in step decay (beyond-reference knob; defaults keep the

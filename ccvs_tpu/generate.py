@@ -77,7 +77,15 @@ class VideoGenerator:
             )
             real_vid = jax.image.resize(small, real_vid.shape, "bilinear")
 
-        enc = self.ae.encode(params["ae"], real_vid)
+        # serve_fused: encode + decode each run as ONE jit program; the
+        # eager glue's per-op remote dispatches otherwise dominate rollout
+        # wall time (23.8x at 64px, runs_r5/dispatch_ab_mid.json variant C)
+        fused = acfg.serve_fused
+        encode = self.ae.get_jit_encode() if fused else self.ae.encode
+        decode_video = (self.ae.get_jit_decode_video() if fused
+                        else self.ae.decode_video)
+
+        enc = encode(params["ae"], real_vid)
         code_all = enc["code"].reshape(b, -1)  # (B, T*size)
 
         out = {}
@@ -178,7 +186,7 @@ class VideoGenerator:
                 out["fake_layout"] = jnp.argmax(
                     fake_lay.astype(jnp.float32), axis=-1)
             else:
-                fake_vid = self.ae.decode_video(
+                fake_vid = decode_video(
                     params["ae"], codes, ctx_frames=ctx_vid[:, :n_ctx_frames],
                     n_ctx=n_ctx_frames, cond_inter=cond_inter,
                 )
@@ -208,7 +216,7 @@ class VideoGenerator:
                 out["rec"] = rec_vid
                 out["rec_layout"] = jnp.argmax(rec_lay.astype(jnp.float32), axis=-1)
             else:
-                out["rec"] = self.ae.decode_video(
+                out["rec"] = decode_video(
                     params["ae"], enc["code"].reshape(b, t, size),
                     ctx_frames=real_vid[:, :n_ctx_frames], n_ctx=n_ctx_frames,
                 )

@@ -315,6 +315,29 @@ class FrameAutoencoder:
             )
         return self._jit_seg_cache
 
+    def get_jit_decode_video(self):
+        """Cached jit of :meth:`decode_video` — ONE XLA program for the whole
+        bucketed rollout instead of per-bucket programs stitched by eager
+        host ops. On the tunneled v5e the eager glue (embed, ctx decode,
+        FIFO seeding, concat — each a remote dispatch) dominates rollout
+        wall time: measured 23.8x at 64px (runs_r5/dispatch_ab_mid.json,
+        variant C vs A). The scan structure inside is unchanged, so the
+        program stays remote-compiler-sized (unlike a fully unrolled
+        15-frame fusion). Retraces per (n_ctx, use_scan, cond_inter
+        presence) combination."""
+        if not hasattr(self, "_jit_decode_video_cache"):
+            self._jit_decode_video_cache = jax.jit(
+                self.decode_video, static_argnames=("n_ctx", "use_scan")
+            )
+        return self._jit_decode_video_cache
+
+    def get_jit_encode(self):
+        """Cached jit of :meth:`encode` (one program instead of per-op
+        eager dispatches; see :meth:`get_jit_decode_video`)."""
+        if not hasattr(self, "_jit_encode_cache"):
+            self._jit_encode_cache = jax.jit(self.encode)
+        return self._jit_encode_cache
+
     def decode_video(self, params, codes, ctx_frames=None, n_ctx=1, cond_inter=None,
                      use_scan=False):
         """Decode a token video autoregressively in image space.

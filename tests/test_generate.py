@@ -532,3 +532,24 @@ def test_generate_down_size(rng):
     out = gen.generate(params, jax.random.PRNGKey(1), vid, rec=False, down_size=4)
     assert out["fake"].shape == (1, 4, 8, 8, 3)
     assert np.isfinite(np.asarray(out["fake"])).all()
+
+
+def test_generate_fused_equals_eager(rng):
+    """cfg.ae.serve_fused (encode + whole decode rollout as single jit
+    programs) is a pure dispatch-structure change: outputs must match the
+    eager path bit-for-bit in fp32 given the same rng."""
+    import dataclasses
+
+    ae, tr, params = _models()
+    vid = jnp.asarray(rng.randn(2, 4, 8, 8, 3).astype(np.float32)) * 0.1
+    gen_e = VideoGenerator(Config(ae=AE, gpt=GPTC), ae, tr)
+    ae_f = FrameAutoencoder(dataclasses.replace(AE, serve_fused=True),
+                            dtype=jnp.float32)
+    gen_f = VideoGenerator(
+        Config(ae=dataclasses.replace(AE, serve_fused=True), gpt=GPTC), ae_f, tr)
+    out_e = gen_e.generate(params, jax.random.PRNGKey(1), vid, rec=True)
+    out_f = gen_f.generate(params, jax.random.PRNGKey(1), vid, rec=True)
+    np.testing.assert_allclose(np.asarray(out_e["fake"]),
+                               np.asarray(out_f["fake"]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_e["rec"]),
+                               np.asarray(out_f["rec"]), rtol=2e-5, atol=2e-5)
