@@ -139,6 +139,12 @@ def main(argv=None):
             p.add_argument("--include-id", action="store_true",
                            help="name output videos by dataset vid_id "
                                 "(reference --include_id)")
+            p.add_argument("--fused", action="store_true",
+                           help="serve encode + the whole decode rollout as "
+                                "single jit programs (identical numerics; "
+                                "removes eager-glue dispatch overhead — "
+                                "23.8x decode at 64px through the tunnel, "
+                                "runs_r5/dispatch_ab_mid.json)")
             p.add_argument("--serve-int8", action="store_true",
                            help="int8 weight-quantized AR decode (1.5x "
                                 "tokens/sec; sampling distribution shifts "
@@ -263,6 +269,8 @@ def _generate(args):
     cfg = _config(args)
     if getattr(args, "serve_int8", False):
         cfg = cfg.replace(gpt=dataclasses.replace(cfg.gpt, serve_int8=True))
+    if getattr(args, "fused", False):
+        cfg = cfg.replace(ae=dataclasses.replace(cfg.ae, serve_fused=True))
 
     # data-parallel generation: batch sharded over the mesh 'data' axis,
     # frozen params replicated — the jitted synthesis programs SPMD across
