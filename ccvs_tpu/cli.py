@@ -111,6 +111,15 @@ def _load_ae_params(args, cfg):
 
 
 def main(argv=None):
+    if os.environ.get("CCVS_FORCE_CPU"):
+        # Offline scoring (eval-fvd / eval-metrics) while the chip is busy:
+        # the sandbox pins JAX_PLATFORMS to the TPU plugin, so host-only
+        # work must opt out before the first jax import (tests/conftest.py
+        # recipe).
+        os.environ.pop("JAX_PLATFORMS", None)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     parser = argparse.ArgumentParser(prog="ccvs_tpu")
     sub = parser.add_subparsers(dest="task", required=True)
 

@@ -179,7 +179,13 @@ def run_import(preset):
     print("rebuilt", ae_name, "and", gpt_name, "checkpoints from", npz)
 
 
-def run_eval(preset, n_batches):
+def run_eval(preset, n_batches, score_only=False, cpu=False):
+    """score_only: skip generation and re-score videos already on disk —
+    the recovery path when the eval phase's timeout fires between
+    generation and the fvd_trained.json merge (happened for kinetics in
+    r5_queue2: the 2400 s budget covered generate + 1.5 of the 4 scoring
+    passes). cpu: score with CCVS_FORCE_CPU so a concurrent chip run is
+    untouched (the embedders are small; only generation needs the chip)."""
     ae_name, gpt_name, eval_name, npz = names(preset)
     cfg = mid_cfg(preset).replace(name=eval_name)
     os.makedirs(SAVE, exist_ok=True)
@@ -187,18 +193,21 @@ def run_eval(preset, n_batches):
     with open(cfg_path, "w") as f:
         f.write(cfg.to_json())
 
-    gen_cmd = [
-        sys.executable, "-m", "ccvs_tpu.cli", "generate",
-        "--load-config", cfg_path,
-        "--ae-ckpt", os.path.join(SAVE, "checkpoints", ae_name),
-        "--ae-raw",
-        "--gpt-ckpt", os.path.join(SAVE, "checkpoints", gpt_name),
-        "--n-batches", str(n_batches),
-    ]
-    print("+", " ".join(gen_cmd), flush=True)
-    subprocess.run(gen_cmd, check=True)
+    if not score_only:
+        gen_cmd = [
+            sys.executable, "-m", "ccvs_tpu.cli", "generate",
+            "--load-config", cfg_path,
+            "--ae-ckpt", os.path.join(SAVE, "checkpoints", ae_name),
+            "--ae-raw",
+            "--gpt-ckpt", os.path.join(SAVE, "checkpoints", gpt_name),
+            "--n-batches", str(n_batches),
+        ]
+        print("+", " ".join(gen_cmd), flush=True)
+        subprocess.run(gen_cmd, check=True)
 
     result_path = os.path.join(SAVE, "results", eval_name)
+    if cpu:
+        os.environ["CCVS_FORCE_CPU"] = "1"  # inherited by scoring children
 
     def run_json(cmd):
         print("+", " ".join(cmd), flush=True)
@@ -214,38 +223,43 @@ def run_eval(preset, n_batches):
                      "all FVD/LPIPS keys are UNCALIBRATED trendline numbers "
                      "(see per-score fallback_embedder flags)",
         "n_videos": len(os.listdir(os.path.join(result_path, "fake"))),
-        "fvd_fake_vs_real_uncalibrated": run_json(
-            [sys.executable, "-m", "ccvs_tpu.cli", "eval-fvd",
-             "--real", os.path.join(result_path, "real"),
-             "--fake", os.path.join(result_path, "fake"), "--chunk", "16"]),
-        "fvd_rec_vs_real_uncalibrated": run_json(
-            [sys.executable, "-m", "ccvs_tpu.cli", "eval-fvd",
-             "--real", os.path.join(result_path, "real"),
-             "--fake", os.path.join(result_path, "rec"), "--chunk", "16"]),
-        "metrics_rec_vs_real": run_json(
-            [sys.executable, "-m", "ccvs_tpu.cli", "eval-metrics",
-             "--real", os.path.join(result_path, "real"),
-             "--fake", os.path.join(result_path, "rec")]),
-        "metrics_fake_vs_real": run_json(
-            [sys.executable, "-m", "ccvs_tpu.cli", "eval-metrics",
-             "--real", os.path.join(result_path, "real"),
-             "--fake", os.path.join(result_path, "fake")]),
     }
-    # one artifact, keyed by preset (bair + kinetics entries side by side)
-    out = {}
-    if os.path.exists(RESULTS_JSON):
-        with open(RESULTS_JSON) as f:
-            out = json.load(f)
-    out[preset] = entry
-    with open(RESULTS_JSON, "w") as f:
-        json.dump(out, f, indent=1)
+
+    def merge():
+        # one artifact, keyed by preset (bair + kinetics side by side);
+        # merged after EVERY scoring pass so a phase timeout keeps the
+        # completed scores (the r5_queue2 kinetics lesson)
+        out = {}
+        if os.path.exists(RESULTS_JSON):
+            with open(RESULTS_JSON) as f:
+                out = json.load(f)
+        out[preset] = entry
+        tmp = RESULTS_JSON + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, RESULTS_JSON)
+
+    scores = [
+        ("fvd_fake_vs_real_uncalibrated", "eval-fvd", "fake", ["--chunk", "16"]),
+        ("fvd_rec_vs_real_uncalibrated", "eval-fvd", "rec", ["--chunk", "16"]),
+        ("metrics_rec_vs_real", "eval-metrics", "rec", []),
+        ("metrics_fake_vs_real", "eval-metrics", "fake", []),
+    ]
+    merge()
+    for key, task, fake_dir, extra in scores:
+        entry[key] = run_json(
+            [sys.executable, "-m", "ccvs_tpu.cli", task,
+             "--real", os.path.join(result_path, "real"),
+             "--fake", os.path.join(result_path, fake_dir), *extra])
+        merge()
     print(json.dumps(entry, indent=1))
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase",
-                    choices=["ae", "gpt", "eval", "verify", "import"],
+                    choices=["ae", "gpt", "eval", "score", "verify",
+                             "import"],
                     required=True)
     ap.add_argument("--preset", choices=["bair", "kinetics"], default="bair")
     ap.add_argument("--n-iter", type=int, default=None)
@@ -259,5 +273,7 @@ if __name__ == "__main__":
         sys.exit(run_verify(args.preset))
     elif args.phase == "import":
         run_import(args.preset)
+    elif args.phase == "score":
+        run_eval(args.preset, args.n_batches, score_only=True, cpu=True)
     else:
         run_eval(args.preset, args.n_batches)
