@@ -11,7 +11,9 @@ def bench_mod(tmp_path, monkeypatch):
 
     monkeypatch.setattr(bench, "GPT_GATE", str(tmp_path / "gpt.json"))
     monkeypatch.setattr(bench, "GPT_GATE_FALLBACKS", ())
+    monkeypatch.setattr(bench, "FUSED_GATE", str(tmp_path / "dispatch_ab.json"))
     monkeypatch.delenv("CCVS_BENCH_SERVE", raising=False)
+    monkeypatch.delenv("CCVS_BENCH_FUSED", raising=False)
     return bench
 
 
@@ -109,6 +111,49 @@ def test_fallback_gate_used(bench_mod, tmp_path, monkeypatch):
     monkeypatch.setattr(bench_mod, "GPT_GATE_FALLBACKS", (str(fb),))
     gpt_int8, info = bench_mod.serving_mode()
     assert gpt_int8 is True and info["gpt_int8_gate"] == str(fb)
+
+
+def _fused_artifact(speedup, **extra):
+    return {"variants": {"C_outer_jit": {"speedup_vs_A": speedup, **extra}}}
+
+
+def test_fused_no_artifact_stays_eager(bench_mod):
+    """The 64px mid artifact lives at a DIFFERENT path — only the 256px
+    flagship A/B may flip the judged bench to the fused program."""
+    fused, info = bench_mod.fused_mode()
+    assert fused is False and info["decode"] == "eager bucketed"
+
+
+def test_fused_passing_artifact_enables(bench_mod):
+    _write(bench_mod.FUSED_GATE, _fused_artifact(1.31))
+    fused, info = bench_mod.fused_mode()
+    assert fused is True
+    assert info["fused_speedup_vs_eager"] == 1.31
+    assert info["fused_gate"] == bench_mod.FUSED_GATE
+
+
+def test_fused_below_threshold_stays_eager(bench_mod):
+    _write(bench_mod.FUSED_GATE, _fused_artifact(1.02))
+    fused, _ = bench_mod.fused_mode()
+    assert fused is False
+
+
+def test_fused_errored_variant_stays_eager(bench_mod):
+    """dispatch_ab_r5 dumps partial JSON after every round; if variant C's
+    256px compile crashed the remote-compile service the entry carries an
+    'error' key and must not authorize the fused path even if a stale
+    speedup field is present."""
+    _write(bench_mod.FUSED_GATE,
+           _fused_artifact(23.8, error="compile timeout"))
+    fused, _ = bench_mod.fused_mode()
+    assert fused is False
+
+
+def test_fused_env_off_forces_eager(bench_mod, monkeypatch):
+    _write(bench_mod.FUSED_GATE, _fused_artifact(1.5))
+    monkeypatch.setenv("CCVS_BENCH_FUSED", "off")
+    fused, info = bench_mod.fused_mode()
+    assert fused is False and info["decode"] == "eager (forced)"
 
 
 def test_env_forces_exact(bench_mod, monkeypatch):
