@@ -66,6 +66,96 @@ GPT_E2E_SPEEDUP_MIN = 1.0   # full-pipeline frames/s, int8 vs exact, same run
 FUSED_GATE = "runs_r5/dispatch_ab.json"
 FUSED_SPEEDUP_MIN = 1.05
 
+# Concurrent compile priming: the remote compile service overlaps DISTINCT
+# programs (runs_r5/compile_probe.json aot_parallel_test: kb8+kb15 compiled
+# in 62.7 s wall vs 106.5 s summed), and the bench's ~20 min compile nearly
+# cost two of five rounds (VERDICT r4 item 5). When the probe artifact
+# proves overlap, the big pipeline programs get their first (compiling)
+# call in parallel threads before the warmup run, pulling compile wall
+# toward max(program) instead of sum. Priming is by REAL first calls —
+# AOT .lower().compile() does not populate the jit dispatch cache, and
+# there is no persistent compile cache through the tunnel. Fail-soft: any
+# prime thread error falls back to the sequential warmup compile for that
+# program. CCVS_BENCH_PRECOMPILE=off disables.
+PRECOMPILE_PROBE = "runs_r5/compile_probe.json"
+
+
+def precompile_mode():
+    if os.environ.get("CCVS_BENCH_PRECOMPILE", "auto") == "off":
+        return False
+    t = (_load(PRECOMPILE_PROBE) or {}).get("aot_parallel_test") or {}
+    indiv = t.get("parallel_individual_s", {})
+    return bool(indiv) and (
+        t.get("parallel_wall_s", 1e9) <= 0.8 * sum(indiv.values()))
+
+
+def _prime_parallel(cfg, ae, tr, params, vid, fused):
+    """First-call the pipeline's big programs concurrently with the EXACT
+    shapes/dtypes VideoGenerator.generate will use (a mismatched prime
+    would add a useless compile). Returns per-thread error strings."""
+    import threading
+
+    size = cfg.ae.tokens_per_frame
+    errs = {}
+
+    def job(name, fn):
+        def run():
+            try:
+                out = fn()
+                np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
+            except Exception as e:  # fall back to sequential warmup compile
+                errs[name] = repr(e)[:200]
+        return threading.Thread(target=run, name=f"prime-{name}")
+
+    # GPT generate: ctx_code (B, N_CTX*size) int32, fill to VID_LEN*size
+    # (generate.py:157-169)
+    threads = [job("gpt", lambda: tr.generate(
+        params["gpt"], jax.random.PRNGKey(0),
+        jnp.zeros((BATCH, N_CTX * size), jnp.int32),
+        total_len=VID_LEN * size)["code"])]
+    if fused:
+        # one program each for encode and the whole decode rollout
+        # (generate.py:83-86: get_jit_encode / get_jit_decode_video)
+        threads.append(job("encode_fused", lambda: ae.get_jit_encode()(
+            params["ae"], vid)["code"]))
+        threads.append(job("decode_fused", lambda: ae.get_jit_decode_video()(
+            params["ae"],
+            jnp.zeros((BATCH, VID_LEN, size), jnp.int32),
+            ctx_frames=vid[:, :N_CTX], n_ctx=N_CTX)))
+    else:
+        # eager path: per-op encode compiles in one thread; each bucketed
+        # scan program (distinct kb AND segment length — scan length is
+        # static) in its own thread, replicating decode_video's grouping
+        # (models/autoencoder.py:408-428)
+        threads.append(job("encode_eager",
+                           lambda: ae.encode(params["ae"], vid)["code"]))
+        pb = params["ae"]
+        if ae.dtype == jnp.bfloat16:  # mirror decode_video's entry cast
+            from ccvs_tpu.utils.casting import cast_params_bf16
+
+            pb = cast_params_bf16(pb)
+        m = cfg.ae.skip_memory
+        z_all = ae.embed_code(pb, jnp.zeros((BATCH, VID_LEN, size), jnp.int32))
+        z_gen = jnp.moveaxis(z_all[:, N_CTX:], 1, 0)
+        seq = [ae._bucket(min(N_CTX + i, m), m) for i in range(VID_LEN - N_CTX)]
+        i = 0
+        while i < len(seq):
+            j = i + 1
+            while j < len(seq) and seq[j] == seq[i]:
+                j += 1
+            kb, lo, hi, curr = seq[i], i, j, N_CTX + i
+            threads.append(job(
+                f"decode_kb{kb}", lambda kb=kb, lo=lo, hi=hi, curr=curr:
+                ae._get_jit_seg()(pb, ae._zero_inters(BATCH, m),
+                                  jnp.asarray(curr, jnp.int32),
+                                  z_gen[lo:hi], None, kb=kb)[1]))
+            i = j
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return errs
+
 
 def fused_mode():
     """(serve_fused, info) from the 256px dispatch A/B artifact."""
@@ -157,8 +247,18 @@ def main():
         # transfer is the only reliable completion barrier.
         return np.asarray(out["fake"][:, -1, :2, :2, 0])
 
-    # compile + warmup
+    # compile + warmup (optionally priming the big programs concurrently;
+    # the warmup run then compiles only the remaining glue)
     t0 = time.perf_counter()
+    if precompile_mode():
+        errs = _prime_parallel(cfg, ae, tr, params, vid, fused)
+        serve_info["precompile"] = "parallel" + (
+            f" (fallbacks: {sorted(errs)})" if errs else "")
+        for name, e in errs.items():
+            import sys
+
+            print(f"bench: prime {name} failed ({e}); sequential warmup "
+                  "will compile it", file=sys.stderr)
     run(jax.random.PRNGKey(1))
     compile_s = round(time.perf_counter() - t0, 1)
     run(jax.random.PRNGKey(2))

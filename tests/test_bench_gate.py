@@ -156,6 +156,81 @@ def test_fused_env_off_forces_eager(bench_mod, monkeypatch):
     assert fused is False and info["decode"] == "eager (forced)"
 
 
+_PROBE_OK = {"aot_parallel_test": {
+    "parallel_wall_s": 62.7,
+    "parallel_individual_s": {"8": 62.7, "15": 43.8}}}
+
+
+@pytest.fixture()
+def probe_path(bench_mod, tmp_path, monkeypatch):
+    p = str(tmp_path / "compile_probe.json")
+    monkeypatch.setattr(bench_mod, "PRECOMPILE_PROBE", p)
+    monkeypatch.delenv("CCVS_BENCH_PRECOMPILE", raising=False)
+    return p
+
+
+def test_precompile_no_probe_off(bench_mod, probe_path):
+    assert bench_mod.precompile_mode() is False
+
+
+def test_precompile_proven_overlap_on(bench_mod, probe_path):
+    _write(probe_path, _PROBE_OK)
+    assert bench_mod.precompile_mode() is True
+
+
+def test_precompile_serialized_service_off(bench_mod, probe_path):
+    """parallel_wall ~= sum(individual) means the compile service
+    serializes — priming threads would only add risk, keep it off."""
+    _write(probe_path, {"aot_parallel_test": {
+        "parallel_wall_s": 103.0,
+        "parallel_individual_s": {"8": 60.0, "15": 43.0}}})
+    assert bench_mod.precompile_mode() is False
+
+
+def test_precompile_env_off(bench_mod, probe_path, monkeypatch):
+    _write(probe_path, _PROBE_OK)
+    monkeypatch.setenv("CCVS_BENCH_PRECOMPILE", "off")
+    assert bench_mod.precompile_mode() is False
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_prime_parallel_smoke(bench_mod, monkeypatch, fused):
+    """Thread plumbing + prime signatures at a tiny config: every prime
+    must complete without falling back (errs empty), and the primed
+    wrappers must be populated for the fused path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ccvs_tpu.config import AutoencoderConfig, Config, TransformerConfig
+    from ccvs_tpu.models import FrameAutoencoder, TokenTransformer
+
+    ae_cfg = AutoencoderConfig(
+        necf=8, necf_mult=(1, 2), ndcf=8, ndcf_mult=(1, 2),
+        z_size=16, z_num=32, z_shape=(4, 4), max_dim=8,
+        inter_p=0.5, skip_memory=3, skip_context=(1, 2, 3),
+        serve_fused=fused)
+    gpt_cfg = TransformerConfig(
+        z_num=32, z_len=64, z_chunk=16, num_blocks=4, cond_len=16,
+        n_layer=2, n_head=2, n_embd=32, z_shape=(4, 4),
+        emb_mode="temporal", top_k=5)
+    cfg = Config(ae=ae_cfg, gpt=gpt_cfg)
+    monkeypatch.setattr(bench_mod, "BATCH", 2)
+    monkeypatch.setattr(bench_mod, "VID_LEN", 4)
+    monkeypatch.setattr(bench_mod, "N_CTX", 1)
+    ae = FrameAutoencoder(cfg.ae, dtype=jnp.float32)
+    tr = TokenTransformer(cfg.gpt, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params = {"ae": ae.init(key), "gpt": tr.init(key, batch=2)}
+    vid = jax.random.uniform(key, (2, 4, 8, 8, 3), jnp.float32, -1, 1)
+    errs = bench_mod._prime_parallel(cfg, ae, tr, params, vid, fused)
+    assert errs == {}
+    if fused:
+        assert hasattr(ae, "_jit_encode_cache")
+        assert hasattr(ae, "_jit_decode_video_cache")
+
+
 def test_env_forces_exact(bench_mod, monkeypatch):
     _write(bench_mod.GPT_GATE, {
         "trained_weights": True, "token_agreement": 0.999, "topk_tv_mean": 0.001,
