@@ -39,6 +39,11 @@ ARGS.add_argument("--skip-speed", action="store_true",
                   help="quality side only (no flagship-pipeline compile)")
 ARGS.add_argument("--skip-quality", action="store_true")
 ARGS.add_argument("--iters", type=int, default=3, help="A/B pairs")
+ARGS.add_argument("--fused", action="store_true",
+                  help="measure speed on the serve_fused pipeline (the "
+                       "bench's serving config since the 256px dispatch "
+                       "A/B landed >=1.05x): the decode program is shared "
+                       "between arms, so the delta isolates the GPT loop")
 ARGS.add_argument("--out", default=os.path.join("runs_r5", "int8_gate.json"))
 ARGS = ARGS.parse_args()
 
@@ -161,6 +166,8 @@ def speed(out, iters):
 
     BATCH, VID_LEN, N_CTX = 2, 16, 1  # bench.py constants
     cfg = bairhd_config()
+    if ARGS.fused:
+        cfg = cfg.replace(ae=dataclasses.replace(cfg.ae, serve_fused=True))
     key = jax.random.PRNGKey(0)
     ae = FrameAutoencoder(cfg.ae, dtype=jnp.bfloat16)
     params = {"ae": jax.jit(ae.init)(key), "gpt": None}
@@ -199,7 +206,8 @@ def speed(out, iters):
     fps_i = frames / min(times["int8"])
     out.update(
         speed_config="full bench pipeline (bairhd 256px 16f rollout, random "
-                     "init — weight values don't affect speed)",
+                     "init — weight values don't affect speed"
+                     + (", serve_fused decode" if ARGS.fused else "") + ")",
         speed_protocol=f"interleaved within-run A/B, {iters} pairs, min-of-N",
         e2e_fps_exact=round(fps_e, 3),
         e2e_fps_int8=round(fps_i, 3),
