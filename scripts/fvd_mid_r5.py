@@ -46,6 +46,14 @@ RESULTS_JSON = os.path.join(SAVE, "fvd_trained.json")
 
 
 def names(preset):
+    if preset == "lrdecay":
+        # the plateau diagnostic's LR-decay arm (scripts/plateau_r5.py):
+        # same bair mid arch, x0.3 LR step decay at iter 300 -> 27.8 dB vs
+        # the constant-LR chain's 26.0 (runs_r5/plateau_diag.json). The AE
+        # checkpoint comes from the diag run; this chain adds a GPT on top
+        # and evals the better pair.
+        return ("r5_plateau_lrdecay", "r5_lrdecay_gpt", "r5_lrdecay_eval",
+                os.path.join(SAVE, "mid_weights_lrdecay_fp16.npz"))
     ae = f"r5_{preset}_ae"
     gpt = f"r5_{preset}_gpt"
     ev = f"r5_{preset}_eval"
@@ -70,7 +78,7 @@ def mid_cfg(preset):
                                  TransformerConfig)
 
     ae_name, _, _, npz = names(preset)
-    kin = preset == "kinetics"
+    kin = preset == "kinetics"  # lrdecay shares the bair arch
     return Config(
         name=ae_name,
         save_path=SAVE,
@@ -255,13 +263,28 @@ def run_eval(preset, n_batches, score_only=False, cpu=False):
     print(json.dumps(entry, indent=1))
 
 
+def run_export_ae(preset):
+    """Merge the AE raw-G tree from the orbax checkpoint into the preset's
+    committable npz — for AE runs trained WITHOUT npz_mirror (the plateau
+    diag arm set npz_mirror='' to keep the chain npz untouched)."""
+    from ccvs_tpu.port.npz_params import update_params_npz
+    from ccvs_tpu.utils.checkpoint import CheckpointManager
+
+    ae_name, _, _, npz = names(preset)
+    ckpt = CheckpointManager(os.path.join(SAVE, "checkpoints", ae_name))
+    gen = ckpt.load("qvid", "latest")["gen"]
+    update_params_npz(npz, ae_gen=gen)
+    print(f"merged {ae_name} raw-G into {npz}")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase",
                     choices=["ae", "gpt", "eval", "score", "verify",
-                             "import"],
+                             "import", "export-ae"],
                     required=True)
-    ap.add_argument("--preset", choices=["bair", "kinetics"], default="bair")
+    ap.add_argument("--preset", choices=["bair", "kinetics", "lrdecay"],
+                    default="bair")
     ap.add_argument("--n-iter", type=int, default=None)
     ap.add_argument("--n-batches", type=int, default=2)
     args = ap.parse_args()
@@ -275,5 +298,7 @@ if __name__ == "__main__":
         run_import(args.preset)
     elif args.phase == "score":
         run_eval(args.preset, args.n_batches, score_only=True, cpu=True)
+    elif args.phase == "export-ae":
+        run_export_ae(args.preset)
     else:
         run_eval(args.preset, args.n_batches)
