@@ -211,7 +211,29 @@ def run_eval(preset, n_batches, score_only=False, cpu=False):
             "--n-batches", str(n_batches),
         ]
         print("+", " ".join(gen_cmd), flush=True)
-        subprocess.run(gen_cmd, check=True)
+        # Propagate the phase timeout's SIGTERM to the generate child:
+        # python's default SIGTERM exit is silent and ORPHANS the child,
+        # which then collides with the next chip phase (observed in
+        # r5_queue4: the orphan held the chip into the bench run). Die
+        # loudly AND take the child down.
+        import signal
+
+        proc = subprocess.Popen(gen_cmd)
+
+        def _term(signum, frame):
+            proc.terminate()
+            proc.wait(timeout=60)
+            print(f"run_eval: SIGTERM during generation (phase budget "
+                  f"exhausted); child terminated", flush=True)
+            sys.exit(75)
+
+        old = signal.signal(signal.SIGTERM, _term)
+        try:
+            rc = proc.wait()
+        finally:
+            signal.signal(signal.SIGTERM, old)
+        if rc != 0:
+            raise subprocess.CalledProcessError(rc, gen_cmd)
 
     result_path = os.path.join(SAVE, "results", eval_name)
     if cpu:
