@@ -176,7 +176,7 @@ def main(argv=None):
                            help="valid data fold to generate from (reference "
                                 "--init_fold_valid with --num_folds_valid)")
 
-    for task in ("eval-fvd", "eval-metrics"):
+    for task in ("eval-fvd", "eval-metrics", "eval-all"):
         p = sub.add_parser(task)
         p.add_argument("--real", required=True)
         p.add_argument("--fake", required=True)
@@ -185,6 +185,10 @@ def main(argv=None):
         p.add_argument("--chunk", type=int, default=256)
         p.add_argument("--idx", type=int, default=None,
                        help="per-timestep metrics (reference --idx)")
+        if task == "eval-all":
+            p.add_argument("--rec", default=None,
+                           help="reconstruction dir: adds rec-vs-real FVD "
+                                "and metrics passes")
 
     args = parser.parse_args(argv)
 
@@ -255,6 +259,46 @@ def main(argv=None):
         n = min(len(real), len(fake))
         print(json.dumps(video_metrics(real[:n], fake[:n], per_timestep=args.idx,
                                        vgg_npz=args.vgg_npz)))
+
+    elif args.task == "eval-all":
+        # The reference scores in two offline processes (tools/tf_fvd/fvd.py
+        # + tools/pytorch_metrics/metrics.py). One process here: the FVD
+        # embedder and the LPIPS VGG each compile ONCE and score every pass
+        # (remote TPU compiles are minutes through the tunnel; per-pass
+        # processes paid that price 4x).
+        import sys as _sys
+
+        from ccvs_tpu.eval import fvd as fvd_mod
+        from ccvs_tpu.eval.metrics import video_metrics
+
+        real = _load_dir(args.real, unit=True)
+        fake = _load_dir(args.fake, unit=True)
+        rec = _load_dir(args.rec, unit=True) if args.rec else None
+
+        if args.i3d_npz:
+            embed, calib = fvd_mod.make_i3d_embedder(args.i3d_npz), True
+        else:
+            print(fvd_mod._UNCAL_WARNING, file=_sys.stderr)
+            embed, calib = fvd_mod.make_fallback_embedder(), False
+
+        def signed(v):  # [0,1] -> [-1,1] for the FVD protocol
+            return v * 2 - 1
+
+        out = {}
+        n = min(len(real), len(fake))
+        out["fvd_fake_vs_real"] = fvd_mod.fvd_from_videos(
+            signed(real[:n]), signed(fake[:n]), embed=embed,
+            chunk=args.chunk, calibrated=calib)
+        out["metrics_fake_vs_real"] = video_metrics(
+            real[:n], fake[:n], per_timestep=args.idx, vgg_npz=args.vgg_npz)
+        if rec is not None:
+            m = min(len(real), len(rec))
+            out["fvd_rec_vs_real"] = fvd_mod.fvd_from_videos(
+                signed(real[:m]), signed(rec[:m]), embed=embed,
+                chunk=args.chunk, calibrated=calib)
+            out["metrics_rec_vs_real"] = video_metrics(
+                real[:m], rec[:m], per_timestep=args.idx, vgg_npz=args.vgg_npz)
+        print(json.dumps(out))
 
 
 def _load_dir(path, unit=False):

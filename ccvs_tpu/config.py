@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 
 @dataclass(frozen=True)
@@ -178,8 +178,9 @@ class AutoencoderConfig:
     # ``lr_decay_at`` optimizer UPDATES (not trainer iterations — one
     # iteration applies an img update plus a vid update every
     # ``vid_step_every``), scale the LR by ``lr_decay_mult``. Built for the
-    # round-5 plateau diagnostic (TRAINRUN.md).
-    lr_decay_at: int = 0
+    # round-5 plateau diagnostic (TRAINRUN.md). A tuple/list of update
+    # counts applies the mult at each point (multi-step decay).
+    lr_decay_at: Any = 0
     lr_decay_mult: float = 1.0
     beta1: float = 0.0
     beta2: float = 0.99

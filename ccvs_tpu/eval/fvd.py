@@ -155,23 +155,31 @@ def make_fallback_embedder(key=None, dim=256):
     return embed
 
 
-def _resize_videos(vids: np.ndarray, size: int = 224) -> np.ndarray:
-    return np.asarray(
-        jax.image.resize(
-            jnp.asarray(vids), (*vids.shape[:2], size, size, vids.shape[-1]), "bilinear"
-        )
-    )
+@partial(jax.jit, static_argnames=("embed", "resize"))
+def _embed_step(chunk, embed, resize):
+    x = chunk.astype(jnp.float32)
+    if resize and x.shape[2] != resize:
+        x = jax.image.resize(
+            x, (*x.shape[:2], resize, resize, x.shape[-1]), "bilinear")
+    return embed(x)
 
 
 def embeddings_from_videos(vids: np.ndarray, embed: Callable, batch: int = 16,
                            resize: Optional[int] = 224) -> np.ndarray:
-    """(N, T, H, W, 3) in [-1, 1] -> (N, D) (`tf_fvd/fvd.py:63-122`)."""
+    """(N, T, H, W, 3) in [-1, 1] -> (N, D) (`tf_fvd/fvd.py:63-122`).
+
+    The protocol resize to 224px happens INSIDE one jitted program with the
+    embedder: only the native-resolution batch crosses host->device and only
+    the (B, D) embedding comes back. (The earlier host-side `_resize_videos`
+    round-tripped the 224px tensor through the tunnel twice — ~310 MB/batch
+    at 64px inputs, ~20 min per scoring pass on the tunneled chip.) The
+    jit is keyed on (embed, resize), so every call sharing one embedder —
+    real/fake/rec sets, both FVD passes — shares ONE compiled program
+    (remote compiles are minutes through the tunnel)."""
     outs = []
     for i in range(0, len(vids), batch):
         chunk = vids[i : i + batch].astype(np.float32)
-        if resize and chunk.shape[2] != resize:
-            chunk = _resize_videos(chunk, resize)
-        outs.append(np.asarray(embed(jnp.asarray(chunk))))
+        outs.append(np.asarray(_embed_step(jnp.asarray(chunk), embed, resize)))
     return np.concatenate(outs)
 
 
@@ -186,7 +194,8 @@ _UNCAL_WARNING = (
 
 def fvd_from_videos(real: np.ndarray, fake: np.ndarray, embed: Optional[Callable] = None,
                     i3d_npz: Optional[str] = None, chunk: Optional[int] = None,
-                    resize: Optional[int] = 224) -> dict:
+                    resize: Optional[int] = 224,
+                    calibrated: Optional[bool] = None) -> dict:
     """FVD between two video sets; mean/std over ``chunk``-sized groups when
     requested (`tf_fvd/fvd.py:216-230`).
 
@@ -198,7 +207,11 @@ def fvd_from_videos(real: np.ndarray, fake: np.ndarray, embed: Optional[Callable
         # An explicitly-given path that is missing is a user error (typo),
         # not a request for the random fallback.
         raise FileNotFoundError(f"--i3d-npz {i3d_npz!r} does not exist")
-    calibrated = embed is not None or bool(i3d_npz)
+    if calibrated is None:
+        # infer: an explicit embedder or vendored weights count as
+        # calibrated; callers sharing a fallback embedder across passes
+        # (eval-all) pass calibrated=False explicitly
+        calibrated = embed is not None or bool(i3d_npz)
     if embed is None:
         if calibrated:
             embed = make_i3d_embedder(i3d_npz)

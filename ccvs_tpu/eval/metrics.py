@@ -84,6 +84,14 @@ class LPIPS:
         self._fn = jax.jit(self._dist)
 
     def _dist(self, a, b):
+        if a.shape[1] < 161:
+            # reference upscale to >=161px (`metrics.py:115-124`), done
+            # on-device inside the jit: nearest-neighbor repeat, identical
+            # numerics to the former host-side np.repeat but without
+            # shipping the upscaled tensor through the (tunneled) transfer
+            s = int(np.ceil(161 / a.shape[1]))
+            a = jnp.repeat(jnp.repeat(a, s, axis=1), s, axis=2)
+            b = jnp.repeat(jnp.repeat(b, s, axis=1), s, axis=2)
         fa = vgg_mod.features(self.params, a, arch=self.arch)
         fb = vgg_mod.features(self.params, b, arch=self.arch)
         total = 0.0
@@ -102,21 +110,23 @@ class LPIPS:
         """a, b: (N, H, W, 3) in [-1, 1] -> (N,) distances."""
         a = np.asarray(a, np.float32)
         b = np.asarray(b, np.float32)
-        if a.shape[1] < 161:
-            s = int(np.ceil(161 / a.shape[1]))
-            a = a.repeat(s, axis=1).repeat(s, axis=2)
-            b = b.repeat(s, axis=1).repeat(s, axis=2)
         return np.asarray(self._fn(jnp.asarray(a), jnp.asarray(b)))
 
 
-_default_lpips = None
+_lpips_cache = {}
+
+
+def _get_lpips(vgg_npz=None):
+    """One LPIPS instance (and so ONE jitted VGG program) per weight file
+    within a process — repeated video_metrics calls in a scoring run share
+    the compile (remote TPU compiles are minutes through the tunnel)."""
+    if vgg_npz not in _lpips_cache:
+        _lpips_cache[vgg_npz] = LPIPS(vgg_npz)
+    return _lpips_cache[vgg_npz]
 
 
 def lpips(a, b, vgg_npz=None):
-    global _default_lpips
-    if _default_lpips is None:
-        _default_lpips = LPIPS(vgg_npz)
-    return _default_lpips(a, b)
+    return _get_lpips(vgg_npz)(a, b)
 
 
 def video_metrics(real_vids: np.ndarray, fake_vids: np.ndarray,
@@ -126,7 +136,7 @@ def video_metrics(real_vids: np.ndarray, fake_vids: np.ndarray,
     n, t = real_vids.shape[:2]
     ts = [per_timestep] if per_timestep is not None else range(t)
     psnrs, ssims, lps = [], [], []
-    lp = LPIPS(vgg_npz)
+    lp = _get_lpips(vgg_npz)
     for i in range(n):
         for tt in ts:
             psnrs.append(psnr(real_vids[i, tt], fake_vids[i, tt]))

@@ -46,10 +46,14 @@ def make_ae_optimizers(cfg: AutoencoderConfig):
 
     def lr_of(base):
         # opt-in step decay (cfg.lr_decay_at, in optimizer updates); the
-        # default keeps the reference's constant LR
+        # default keeps the reference's constant LR. An int is one decay
+        # point; a tuple/list applies lr_decay_mult at each point
+        # (round-5 extended run: x0.3 at 300 and again at 900 iters).
         if cfg.lr_decay_at:
+            pts = (cfg.lr_decay_at if isinstance(cfg.lr_decay_at, (tuple, list))
+                   else (cfg.lr_decay_at,))
             return optax.piecewise_constant_schedule(
-                base, {cfg.lr_decay_at: cfg.lr_decay_mult})
+                base, {int(p): cfg.lr_decay_mult for p in pts})
         return base
 
     opt_g = optax.adam(lr_of(cfg.lr * g_ratio), b1=cfg.beta1**g_ratio,

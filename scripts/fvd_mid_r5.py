@@ -54,6 +54,13 @@ def names(preset):
         # and evals the better pair.
         return ("r5_plateau_lrdecay", "r5_lrdecay_gpt", "r5_lrdecay_eval",
                 os.path.join(SAVE, "mid_weights_lrdecay_fp16.npz"))
+    if preset == "ext":
+        # round-5 extended run: the plateau diagnostic's winning arm
+        # (x0.3 step decay) continued past its 600-iter budget with a
+        # second decay step — the "does the schedule fix keep paying"
+        # follow-through (VERDICT r4 item 6 lineage).
+        return ("r5_ext_ae", "r5_ext_gpt", "r5_ext_eval",
+                os.path.join(SAVE, "mid_weights_ext_fp16.npz"))
     ae = f"r5_{preset}_ae"
     gpt = f"r5_{preset}_gpt"
     ev = f"r5_{preset}_eval"
@@ -78,8 +85,8 @@ def mid_cfg(preset):
                                  TransformerConfig)
 
     ae_name, _, _, npz = names(preset)
-    kin = preset == "kinetics"  # lrdecay shares the bair arch
-    return Config(
+    kin = preset == "kinetics"  # lrdecay/ext share the bair arch
+    cfg = Config(
         name=ae_name,
         save_path=SAVE,
         log_freq=10,
@@ -107,6 +114,15 @@ def mid_cfg(preset):
             emb_mode="temporal", top_k=100, remat=True,
         ),
     )
+    if preset == "ext":
+        # x0.3 LR decay at iters 300 and 900 (in optimizer updates:
+        # 2 updates/iter at vid_step_every=1). First step reproduced the
+        # diagnostic's winning arm; the second tests whether a further
+        # decay keeps paying once the new plateau is reached.
+        import dataclasses as _dc
+        cfg = cfg.replace(ae=_dc.replace(cfg.ae, lr_decay_at=(600, 1800),
+                                         lr_decay_mult=0.3))
+    return cfg
 
 
 def run_ae(preset, n_iter):
@@ -187,7 +203,7 @@ def run_import(preset):
     print("rebuilt", ae_name, "and", gpt_name, "checkpoints from", npz)
 
 
-def run_eval(preset, n_batches, score_only=False, cpu=False):
+def run_eval(preset, n_batches, score_only=False, cpu=False, fused=False):
     """score_only: skip generation and re-score videos already on disk —
     the recovery path when the eval phase's timeout fires between
     generation and the fvd_trained.json merge (happened for kinetics in
@@ -210,6 +226,13 @@ def run_eval(preset, n_batches, score_only=False, cpu=False):
             "--gpt-ckpt", os.path.join(SAVE, "checkpoints", gpt_name),
             "--n-batches", str(n_batches),
         ]
+        if fused:
+            # serve_fused single-program encode/decode (gated by
+            # runs_r5/dispatch_ab.json; pinned exact vs eager by
+            # test_generate.py::test_generate_fused_equals_eager) — makes
+            # the larger n_batches eval sweeps chip-minutes instead of
+            # chip-hours at 64px (23.8x, PERF_NOTES round-5)
+            gen_cmd.append("--fused")
         print("+", " ".join(gen_cmd), flush=True)
         # Propagate the phase timeout's SIGTERM to the generate child:
         # python's default SIGTERM exit is silent and ORPHANS the child,
@@ -236,13 +259,49 @@ def run_eval(preset, n_batches, score_only=False, cpu=False):
             raise subprocess.CalledProcessError(rc, gen_cmd)
 
     result_path = os.path.join(SAVE, "results", eval_name)
+    score_keys = ("fvd_fake_vs_real_uncalibrated", "fvd_rec_vs_real_uncalibrated",
+                  "metrics_rec_vs_real", "metrics_fake_vs_real")
+    if score_only and os.path.exists(RESULTS_JSON):
+        # safety-net invocation after a bounded eval phase: skip if the
+        # eval already merged every scoring pass for the CURRENT video set
+        with open(RESULTS_JSON) as f:
+            prev = json.load(f).get(preset, {})
+        n_now = len(os.listdir(os.path.join(result_path, "fake")))
+        if (all(k in prev for k in score_keys)
+                and prev.get("n_videos") == n_now):
+            print(f"score phase: {preset} already fully scored at "
+                  f"n_videos={n_now}; nothing to do")
+            return
     if cpu:
         os.environ["CCVS_FORCE_CPU"] = "1"  # inherited by scoring children
 
     def run_json(cmd):
+        # Same SIGTERM propagation as the generation child above: a phase
+        # timeout during a scoring pass must not orphan a chip-holding
+        # eval-fvd/eval-metrics child into the next phase.
+        import signal
+
         print("+", " ".join(cmd), flush=True)
-        r = subprocess.run(cmd, check=True, capture_output=True, text=True)
-        return json.loads(r.stdout.strip().splitlines()[-1])
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
+
+        def _term(signum, frame):
+            proc.terminate()
+            try:
+                proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+            print("run_eval: SIGTERM during scoring; child terminated",
+                  flush=True)
+            sys.exit(75)
+
+        old = signal.signal(signal.SIGTERM, _term)
+        try:
+            out, _ = proc.communicate()
+        finally:
+            signal.signal(signal.SIGTERM, old)
+        if proc.returncode != 0:
+            raise subprocess.CalledProcessError(proc.returncode, cmd)
+        return json.loads(out.strip().splitlines()[-1])
 
     entry = {
         "protocol": "train 64px mid config -> generate->AVI (16f) -> "
@@ -269,19 +328,21 @@ def run_eval(preset, n_batches, score_only=False, cpu=False):
             json.dump(out, f, indent=1)
         os.replace(tmp, RESULTS_JSON)
 
-    scores = [
-        ("fvd_fake_vs_real_uncalibrated", "eval-fvd", "fake", ["--chunk", "16"]),
-        ("fvd_rec_vs_real_uncalibrated", "eval-fvd", "rec", ["--chunk", "16"]),
-        ("metrics_rec_vs_real", "eval-metrics", "rec", []),
-        ("metrics_fake_vs_real", "eval-metrics", "fake", []),
-    ]
     merge()
-    for key, task, fake_dir, extra in scores:
-        entry[key] = run_json(
-            [sys.executable, "-m", "ccvs_tpu.cli", task,
-             "--real", os.path.join(result_path, "real"),
-             "--fake", os.path.join(result_path, fake_dir), *extra])
-        merge()
+    # one eval-all process: the FVD embedder and the LPIPS VGG compile once
+    # and score all four passes (per-pass processes re-paid the minutes-long
+    # remote compile 4-6x)
+    all_scores = run_json(
+        [sys.executable, "-m", "ccvs_tpu.cli", "eval-all",
+         "--real", os.path.join(result_path, "real"),
+         "--fake", os.path.join(result_path, "fake"),
+         "--rec", os.path.join(result_path, "rec"),
+         "--chunk", "16"])
+    entry["fvd_fake_vs_real_uncalibrated"] = all_scores["fvd_fake_vs_real"]
+    entry["fvd_rec_vs_real_uncalibrated"] = all_scores["fvd_rec_vs_real"]
+    entry["metrics_rec_vs_real"] = all_scores["metrics_rec_vs_real"]
+    entry["metrics_fake_vs_real"] = all_scores["metrics_fake_vs_real"]
+    merge()
     print(json.dumps(entry, indent=1))
 
 
@@ -305,13 +366,20 @@ if __name__ == "__main__":
                     choices=["ae", "gpt", "eval", "score", "verify",
                              "import", "export-ae"],
                     required=True)
-    ap.add_argument("--preset", choices=["bair", "kinetics", "lrdecay"],
+    ap.add_argument("--preset", choices=["bair", "kinetics", "lrdecay", "ext"],
                     default="bair")
     ap.add_argument("--n-iter", type=int, default=None)
     ap.add_argument("--n-batches", type=int, default=2)
+    ap.add_argument("--fused", action="store_true",
+                    help="generate with serve_fused (single-program "
+                         "encode/decode; exact, gated)")
+    ap.add_argument("--chip", action="store_true",
+                    help="score phase: use the TPU (fast now that resize "
+                         "is fused on-device) instead of CCVS_FORCE_CPU")
     args = ap.parse_args()
     if args.phase == "ae":
-        run_ae(args.preset, args.n_iter or 600)
+        run_ae(args.preset, args.n_iter or (1200 if args.preset == "ext"
+                                            else 600))
     elif args.phase == "gpt":
         run_gpt(args.preset, args.n_iter or 400)
     elif args.phase == "verify":
@@ -319,8 +387,9 @@ if __name__ == "__main__":
     elif args.phase == "import":
         run_import(args.preset)
     elif args.phase == "score":
-        run_eval(args.preset, args.n_batches, score_only=True, cpu=True)
+        run_eval(args.preset, args.n_batches, score_only=True,
+                 cpu=not args.chip)
     elif args.phase == "export-ae":
         run_export_ae(args.preset)
     else:
-        run_eval(args.preset, args.n_batches)
+        run_eval(args.preset, args.n_batches, fused=args.fused)

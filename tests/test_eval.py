@@ -66,3 +66,42 @@ def test_i3d_shapes():
     variables = model.init(jax.random.PRNGKey(0), x)
     emb = model.apply(variables, x)
     assert emb.shape == (1, 1024)
+
+
+def test_eval_all_cli(rng, tmp_path):
+    """`cli eval-all` scores FVD + metrics for fake and rec in ONE process
+    (one embedder + one LPIPS compile shared across every pass — the
+    per-pass-process protocol re-paid minutes-long remote compiles 4-6x on
+    the tunneled chip). Pins the output key layout the round-5 quality
+    chain merges into fvd_trained.json."""
+    import json
+    import subprocess
+    import sys
+
+    from ccvs_tpu.utils.video_io import write_video
+
+    for sub in ("real", "fake", "rec"):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(2):
+            frames = (rng.rand(4, 32, 32, 3) * 255).astype(np.uint8)
+            write_video(str(d / f"vid_{i:05d}.avi"), frames)
+
+    import os
+
+    env = dict(os.environ, CCVS_FORCE_CPU="1")  # the child must not
+    # auto-detect the TPU plugin (conftest's CPU forcing is in-process only)
+    r = subprocess.run(
+        [sys.executable, "-m", "ccvs_tpu.cli", "eval-all",
+         "--real", str(tmp_path / "real"), "--fake", str(tmp_path / "fake"),
+         "--rec", str(tmp_path / "rec"), "--chunk", "2"],
+        capture_output=True, text=True, check=True, env=env)
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert set(out) == {"fvd_fake_vs_real", "fvd_rec_vs_real",
+                        "metrics_fake_vs_real", "metrics_rec_vs_real"}
+    for k in ("fvd_fake_vs_real", "fvd_rec_vs_real"):
+        assert out[k]["fallback_embedder"] is True
+        assert np.isfinite(out[k]["fvd_uncalibrated"])
+    for k in ("metrics_fake_vs_real", "metrics_rec_vs_real"):
+        assert {"psnr", "ssim"} <= set(out[k])
+        assert out[k]["lpips_fallback_weights"] is True

@@ -524,3 +524,19 @@ def test_ae_lr_step_decay():
     u1, s = default_g.update(grads, s, params)
     u2, s = default_g.update(grads, s, params)
     np.testing.assert_allclose(float(u1["w"][0]), float(u2["w"][0]), rtol=1e-5)
+
+    # multi-step decay (round-5 extended run): a tuple of decay points
+    # applies the mult at each boundary
+    multi = AutoencoderConfig(lr=0.1, beta1=0.0, beta2=0.99,
+                              lr_decay_at=(1, 3), lr_decay_mult=0.5)
+    opt_m, _ = make_ae_optimizers(multi)
+    p = {"w": jnp.ones((3,))}
+    s = opt_m.init(p)
+    mags = []
+    for _ in range(4):
+        u, s = opt_m.update(grads, s, p)
+        p = optax.apply_updates(p, u)
+        mags.append(float(jnp.abs(u["w"][0])))
+    np.testing.assert_allclose(mags[1] / mags[0], 0.5, rtol=1e-3)
+    np.testing.assert_allclose(mags[2] / mags[0], 0.5, rtol=1e-3)
+    np.testing.assert_allclose(mags[3] / mags[0], 0.25, rtol=1e-3)
